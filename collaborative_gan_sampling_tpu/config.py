@@ -1,0 +1,313 @@
+"""Typed configuration tree + named presets + CLI overrides.
+
+Replaces the reference's per-script flag soup (C16 in SURVEY.md section 2:
+``argparse`` in ``synthetic/main_synthetic.py`` and carpedm20-style
+``tf.app.flags`` in ``celebA/main.py``) with one frozen-dataclass config tree.
+All reference hyperparameters are represented: refinement depth K ("rollout
+steps"), refinement step size lambda ("rollout rate"), DRS rejection gamma,
+shaping interval, mode/method selectors, Adam (lr, beta1), batch/z sizes,
+dataset/crop options, and checkpoint dirs.
+
+The five BASELINE.json configs ship as named presets:
+``toy2d``, ``mnist``, ``fmnist``, ``cifar10``, ``celeba``, ``imagenet64``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+# ---------------------------------------------------------------------------
+# Leaf configs
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Architecture of the (G, D) pair.
+
+    ``kind='mlp'`` covers the reference's synthetic models (C2): MLP generator
+    z in R^{z_dim} -> R^{data_dim} and MLP discriminator R^{data_dim} -> logit.
+    ``kind='dcgan'`` covers C7/C8: transposed-conv generator and conv
+    discriminator for 28x28x1 .. 64x64x3 images, optionally class-conditional
+    (``num_classes > 0``, the ImageNet-64 extension required by BASELINE.json).
+    """
+
+    kind: str = "mlp"  # 'mlp' | 'dcgan'
+    z_dim: int = 4
+    data_dim: int = 2  # MLP data dimensionality (2 for the toy problems)
+    g_hidden: int = 128
+    d_hidden: int = 128
+    g_layers: int = 3
+    d_layers: int = 3
+    # DCGAN:
+    image_size: int = 32
+    channels: int = 3
+    g_base_filters: int = 64  # filters in the last deconv stage (gf_dim)
+    d_base_filters: int = 64  # filters in the first conv stage (df_dim)
+    num_classes: int = 0  # 0 = unconditional
+    # Compute dtype for the forward/backward pass. Params stay float32.
+    # bfloat16 keeps the MXU fed at full rate on TPU.
+    compute_dtype: str = "bfloat16"
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset selection (C1 + C9).
+
+    2D mixtures are procedural (no files). Image datasets load from
+    ``path`` when present; when absent (offline environments) the loaders
+    fall back to a deterministic procedural image distribution so every code
+    path stays runnable — see data/images.py.
+    """
+
+    dataset: str = "ring8"  # ring8|ring8_imbalanced|grid25|mnist|fmnist|cifar10|celeba|imagenet64
+    path: str = ""  # local dataset root ('' = procedural fallback)
+    # CelebA-style preprocessing (C9): center-crop then resize.
+    crop_size: int = 108
+    # 2D mixture geometry:
+    ring_radius: float = 2.0
+    mixture_std: float = 0.02
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """GAN training loop hyperparameters (C3/C10)."""
+
+    batch_size: int = 256
+    niters: int = 4000  # total D-step iterations
+    d_lr: float = 2e-4
+    g_lr: float = 2e-4
+    beta1: float = 0.5
+    beta2: float = 0.999
+    d_steps: int = 1  # D updates per iteration
+    g_steps: int = 1  # G updates per iteration (carpedm20 image trainers use 2)
+    steps_per_call: int = 50  # lax.scan'd train steps per host dispatch
+    log_every: int = 200
+    ckpt_every: int = 1000
+    viz_every: int = 0  # 0 = off
+
+
+@dataclass(frozen=True)
+class RefineConfig:
+    """Sampling-strategy hyperparameters (C4/C5/C6/C11/C12).
+
+    ``method`` selects the reference's benchmark matrix entries:
+    ``standard`` (raw G samples), ``reject`` (DRS), ``mhgan``,
+    ``refinement`` (gradient refinement only), ``collab``
+    (refine + reject + periodic D shaping).
+    """
+
+    method: str = "collab"
+    steps: int = 10  # K, the reference's "rollout steps"
+    rate: float = 0.1  # lambda, the reference's "rollout rate"
+    clip_norm: float = 0.0  # 0 = no per-sample gradient clipping
+    use_pallas: bool = True  # fused Pallas fast-path where supported
+    # DRS rejection (C5):
+    gamma: float = 0.0  # static acceptance shift; <0 accepts more
+    gamma_percentile: float = 80.0  # dynamic gamma: batch percentile of
+    # F_hat (0 disables); samples at this percentile get p=0.5
+    burn_in: int = 2048  # samples used to estimate the logit max M
+    eps_drs: float = 1e-6
+    # MH-GAN (C6):
+    mh_chain_len: int = 40
+    # Discriminator shaping (C11):
+    shape_every: int = 1  # shape D every m refined batches (0 = never)
+    shaping_steps: int = 1  # D updates per shaping event
+    shaping_lr: float = 1e-4
+    # Sampling volume:
+    num_batches: int = 40
+    batch_size: int = 256
+
+
+@dataclass(frozen=True)
+class EvalConfig:
+    """Evaluation settings (C13)."""
+
+    hq_std: float = 4.0  # %HQ threshold: within hq_std * mixture_std of a mode
+    fid_num_samples: int = 10000
+    fid_batch_size: int = 256
+    feature_net: str = "auto"  # 'auto' | 'random_conv' | path to inception params
+    newton_schulz_iters: int = 20
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh / parallelism settings (the C18/C19 TPU-native equivalents).
+
+    The only model-relevant axis for <=64x64 DCGANs is the batch ('data')
+    axis; TP/PP/SP/EP are deliberately out of scope (SURVEY.md section 2).
+    """
+
+    data_axis: int = -1  # number of chips on the data axis; -1 = all visible
+
+
+@dataclass(frozen=True)
+class Config:
+    name: str = "toy2d"
+    seed: int = 0
+    workdir: str = "runs/toy2d"
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    refine: RefineConfig = field(default_factory=RefineConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    # -- serialization ------------------------------------------------------
+
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, sort_keys=True)
+
+    def replace(self, **kw: Any) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Presets — the five BASELINE.json configs (+ fashion-mnist split out)
+# ---------------------------------------------------------------------------
+
+
+def _toy2d() -> Config:
+    return Config(
+        name="toy2d",
+        workdir="runs/toy2d",
+        model=ModelConfig(kind="mlp", z_dim=4, data_dim=2, g_hidden=128,
+                          d_hidden=128, g_layers=3, d_layers=3,
+                          compute_dtype="float32"),
+        data=DataConfig(dataset="ring8_imbalanced", mixture_std=0.1,
+                        ring_radius=2.0),
+        train=TrainConfig(batch_size=256, niters=4000, d_lr=1e-3, g_lr=1e-3,
+                          beta1=0.5),
+        refine=RefineConfig(steps=10, rate=0.1, shape_every=1,
+                            use_pallas=True),
+    )
+
+
+def _mnist() -> Config:
+    return Config(
+        name="mnist",
+        workdir="runs/mnist",
+        model=ModelConfig(kind="dcgan", z_dim=100, image_size=28, channels=1,
+                          g_base_filters=64, d_base_filters=64),
+        data=DataConfig(dataset="mnist"),
+        train=TrainConfig(batch_size=256, niters=4000, d_lr=2e-4, g_lr=2e-4,
+                          g_steps=2, steps_per_call=20),
+        refine=RefineConfig(steps=10, rate=0.02, shape_every=4,
+                            batch_size=256),
+    )
+
+
+def _fmnist() -> Config:
+    c = _mnist()
+    return c.replace(name="fmnist", workdir="runs/fmnist",
+                     data=DataConfig(dataset="fmnist"))
+
+
+def _cifar10() -> Config:
+    return Config(
+        name="cifar10",
+        workdir="runs/cifar10",
+        model=ModelConfig(kind="dcgan", z_dim=100, image_size=32, channels=3,
+                          g_base_filters=64, d_base_filters=64),
+        data=DataConfig(dataset="cifar10"),
+        train=TrainConfig(batch_size=256, niters=20000, d_lr=2e-4, g_lr=2e-4,
+                          g_steps=2, steps_per_call=20),
+        refine=RefineConfig(steps=10, rate=0.02, shape_every=4,
+                            batch_size=256),
+    )
+
+
+def _celeba() -> Config:
+    return Config(
+        name="celeba",
+        workdir="runs/celeba",
+        model=ModelConfig(kind="dcgan", z_dim=100, image_size=64, channels=3,
+                          g_base_filters=64, d_base_filters=64),
+        data=DataConfig(dataset="celeba", crop_size=108),
+        train=TrainConfig(batch_size=128, niters=40000, d_lr=2e-4, g_lr=2e-4,
+                          g_steps=2, steps_per_call=10),
+        refine=RefineConfig(steps=10, rate=0.01, shape_every=4,
+                            batch_size=128),
+    )
+
+
+def _imagenet64() -> Config:
+    return Config(
+        name="imagenet64",
+        workdir="runs/imagenet64",
+        model=ModelConfig(kind="dcgan", z_dim=128, image_size=64, channels=3,
+                          g_base_filters=96, d_base_filters=96,
+                          num_classes=1000),
+        data=DataConfig(dataset="imagenet64"),
+        train=TrainConfig(batch_size=256, niters=100000, d_lr=2e-4, g_lr=2e-4,
+                          g_steps=1, steps_per_call=10),
+        refine=RefineConfig(steps=10, rate=0.01, shape_every=4,
+                            batch_size=256),
+    )
+
+
+_PRESETS = {
+    "toy2d": _toy2d,
+    "mnist": _mnist,
+    "fmnist": _fmnist,
+    "cifar10": _cifar10,
+    "celeba": _celeba,
+    "imagenet64": _imagenet64,
+}
+
+
+def list_presets() -> list[str]:
+    return sorted(_PRESETS)
+
+
+def get_preset(name: str) -> Config:
+    if name not in _PRESETS:
+        raise KeyError(f"unknown preset {name!r}; have {list_presets()}")
+    return _PRESETS[name]()
+
+
+# ---------------------------------------------------------------------------
+# CLI overrides: --train.batch_size=128 --refine.steps=50 --model.kind=dcgan
+# ---------------------------------------------------------------------------
+
+
+def _cast(value: str, typ: Any) -> Any:
+    if typ is bool:
+        if value.lower() in ("1", "true", "yes", "on"):
+            return True
+        if value.lower() in ("0", "false", "no", "off"):
+            return False
+        raise ValueError(f"cannot parse bool from {value!r}")
+    return typ(value)
+
+
+def apply_overrides(cfg: Config, overrides: list[str]) -> Config:
+    """Apply ``a.b=c`` style dotted overrides to a frozen config tree."""
+    for ov in overrides:
+        ov = ov.lstrip("-")
+        if "=" not in ov:
+            raise ValueError(f"override {ov!r} is not of the form key=value")
+        dotted, value = ov.split("=", 1)
+        path = dotted.split(".")
+        cfg = _set_path(cfg, path, value)
+    return cfg
+
+
+def _set_path(node: Any, path: list[str], value: str) -> Any:
+    name = path[0]
+    fields = {f.name: f for f in dataclasses.fields(node)}
+    if name not in fields:
+        raise KeyError(
+            f"{type(node).__name__} has no field {name!r}; "
+            f"have {sorted(fields)}")
+    if len(path) == 1:
+        typ = type(getattr(node, name))
+        return dataclasses.replace(node, **{name: _cast(value, typ)})
+    child = _set_path(getattr(node, name), path[1:], value)
+    return dataclasses.replace(node, **{name: child})

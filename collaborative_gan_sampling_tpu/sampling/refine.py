@@ -1,0 +1,88 @@
+"""Refinement engine (C4) — the reference's core IP, rebuilt as one fused scan.
+
+Reference behavior (``synthetic/sampler.py`` + mirrors, approximate paths —
+SURVEY.md C4 / section 3.2): K-step gradient ascent of *samples* in data
+space along dD/dx,
+
+    x_{k+1} = x_k - lambda * grad_x softplus(-D(x_k))
+            = x_k + lambda * sigmoid(-D(x_k)) * grad_x D(x_k),
+
+i.e. descent on the non-saturating generator loss evaluated at the sample.
+K is the reference's "rollout steps" flag, lambda its "rollout rate";
+optional per-sample gradient-norm clipping. In the reference this is a host
+Python loop doing one ``sess.run(grad_op)`` per step — 2K host<->device
+round-trips per batch (SURVEY.md section 3.2, "the hot loop is the product").
+
+TPU-native design: the whole K-step loop is ONE ``lax.scan`` inside the
+caller's jit. x stays device-resident across all K steps; memory is O(1) in K
+(only the current x is live) unless a trajectory is explicitly requested for
+visualization. D is applied in eval mode (deterministic, per-sample
+decoupled), so grad of the summed loss yields exact per-sample gradients.
+For the MLP discriminator there is a hand-fused Pallas kernel fast path
+(ops/refine_pallas.py) with this scan as its parity oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from collaborative_gan_sampling_tpu.config import RefineConfig
+from collaborative_gan_sampling_tpu.models import GANBundle
+
+
+def refine_loss_per_sample(logits: jax.Array) -> jax.Array:
+    """Non-saturating refinement objective per sample: softplus(-D(x))."""
+    return jax.nn.softplus(-logits)
+
+
+def _clip_per_sample(g: jax.Array, max_norm: float) -> jax.Array:
+    """Clip each sample's gradient to `max_norm` (L2 over non-batch axes)."""
+    axes = tuple(range(1, g.ndim))
+    norm = jnp.sqrt(jnp.sum(g * g, axis=axes, keepdims=True) + 1e-12)
+    scale = jnp.minimum(1.0, max_norm / norm)
+    return g * scale
+
+
+def make_refine_fn(bundle: GANBundle, cfg: RefineConfig,
+                   return_trajectory: bool = False) -> Callable:
+    """Build `refine(d_vars, x0, labels=None) -> (x_K, aux)`.
+
+    aux = {'logits': D(x_K) logits, 'traj': (K+1, B, ...) if requested}.
+    Pure and jittable; call inside your own jit/scan (collab.py does).
+    """
+    steps, rate, clip_norm = cfg.steps, cfg.rate, cfg.clip_norm
+
+    def refine(d_vars: Any, x0: jax.Array,
+               labels: jax.Array | None = None):
+        def loss_sum(x):
+            logits = bundle.discriminate(d_vars, x, labels, train=False)
+            return jnp.sum(refine_loss_per_sample(logits))
+
+        grad_fn = jax.grad(loss_sum)
+
+        def step(x, _):
+            g = grad_fn(x)
+            if clip_norm > 0:
+                g = _clip_per_sample(g, clip_norm)
+            x_new = x - rate * g
+            return x_new, (x_new if return_trajectory else None)
+
+        x_k, traj = jax.lax.scan(step, x0, None, length=steps)
+        logits = bundle.discriminate(d_vars, x_k, labels, train=False)
+        aux = {"logits": logits}
+        if return_trajectory:
+            aux["traj"] = jnp.concatenate([x0[None], traj], axis=0)
+        return x_k, aux
+
+    return refine
+
+
+def refine_samples(bundle: GANBundle, d_vars: Any, x0: jax.Array,
+                   cfg: RefineConfig, labels: jax.Array | None = None,
+                   return_trajectory: bool = False):
+    """One-shot convenience wrapper (jits internally)."""
+    fn = make_refine_fn(bundle, cfg, return_trajectory)
+    return jax.jit(fn)(d_vars, x0, labels)

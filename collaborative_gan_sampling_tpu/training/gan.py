@@ -1,0 +1,191 @@
+"""GAN training (C3/C10): non-saturating loss, Adam, fully-jitted step chunks.
+
+The reference's train loops (``synthetic/main_synthetic.py`` and
+``celebA/model.py::DCGAN.train`` — approximate paths, SURVEY.md sections 3.1
+and 3.3) dispatch one ``sess.run`` per optimizer per iteration; host Python
+drives every step, and per-step dispatch overhead dominates on small models.
+
+TPU-native design: one `train_step` = (data draw + d_steps D updates +
+g_steps G updates), and ``make_train_chunk`` wraps `steps_per_call` of them
+in a single ``lax.scan`` under one ``jit`` — the host dispatches once per
+chunk, XLA pipelines everything on device, and data is drawn *inside* the
+step from device-resident sources (pure function of the PRNG key), so the
+host never touches a batch.
+
+Loss is the non-saturating GAN loss (paper arXiv:1902.00813 uses it for both
+the synthetic and image experiments):
+    d_loss = E[softplus(-D(x_real))] + E[softplus(D(G(z)))]
+    g_loss = E[softplus(-D(G(z)))]
+equivalent to the reference's sigmoid-BCE formulation but numerically stable
+in bfloat16/float32.
+
+Multi-chip: the step is pure; under a Mesh the batch from `data_fn` is
+annotated with a 'data' sharding constraint and params stay replicated, so
+XLA inserts the psum gradient all-reduce over ICI (SURVEY.md C18/C19
+equivalents). No pmap, no hand-written collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from collaborative_gan_sampling_tpu.config import TrainConfig
+from collaborative_gan_sampling_tpu.models import GANBundle
+from collaborative_gan_sampling_tpu.utils.prng import step_key
+
+# data_fn(key, batch_size) -> (x_real, labels_or_None); must be pure & jittable
+DataFn = Callable[[jax.Array, int], tuple[jax.Array, jax.Array | None]]
+
+
+def nonsaturating_d_loss(logits_real: jax.Array,
+                         logits_fake: jax.Array) -> jax.Array:
+    return (jnp.mean(jax.nn.softplus(-logits_real))
+            + jnp.mean(jax.nn.softplus(logits_fake)))
+
+
+def nonsaturating_g_loss(logits_fake: jax.Array) -> jax.Array:
+    return jnp.mean(jax.nn.softplus(-logits_fake))
+
+
+class TrainState(struct.PyTreeNode):
+    """Everything that evolves during training — one checkpointable pytree."""
+
+    g_vars: Any  # {'params': ..., ['batch_stats': ...]}
+    d_vars: Any
+    g_opt: Any
+    d_opt: Any
+    step: jax.Array  # int32 scalar
+
+
+def _with_params(variables: Any, params: Any) -> dict:
+    v = dict(variables)
+    v["params"] = params
+    return v
+
+
+def _merge_stats(variables: Any, updates: Any) -> dict:
+    v = dict(variables)
+    if updates and "batch_stats" in updates:
+        v["batch_stats"] = updates["batch_stats"]
+    return v
+
+
+def make_optimizers(cfg: TrainConfig) -> tuple[optax.GradientTransformation,
+                                               optax.GradientTransformation]:
+    # Matches the reference's AdamOptimizer(lr, beta1) (carpedm20 defaults
+    # beta1=0.5); beta2/eps are TF defaults.
+    g_tx = optax.adam(cfg.g_lr, b1=cfg.beta1, b2=cfg.beta2, eps=1e-8)
+    d_tx = optax.adam(cfg.d_lr, b1=cfg.beta1, b2=cfg.beta2, eps=1e-8)
+    return g_tx, d_tx
+
+
+def create_train_state(bundle: GANBundle, cfg: TrainConfig,
+                       key: jax.Array) -> TrainState:
+    g_vars, d_vars = bundle.init(key, batch=max(2, min(cfg.batch_size, 8)))
+    g_tx, d_tx = make_optimizers(cfg)
+    return TrainState(
+        g_vars=dict(g_vars), d_vars=dict(d_vars),
+        g_opt=g_tx.init(g_vars["params"]),
+        d_opt=d_tx.init(d_vars["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_train_chunk(bundle: GANBundle, cfg: TrainConfig, data_fn: DataFn,
+                     base_key: jax.Array, mesh: Mesh | None = None,
+                     steps_per_call: int | None = None):
+    """Build `chunk(state) -> (state, metrics)` running `steps_per_call`
+    full train iterations in one compiled call."""
+    g_tx, d_tx = make_optimizers(cfg)
+    n_steps = steps_per_call or cfg.steps_per_call
+    batch = cfg.batch_size
+
+    def constrain(x):
+        if mesh is None or x is None:
+            return x
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1)))))
+
+    def d_update(state: TrainState, key: jax.Array):
+        k_data, k_z, k_lab = jax.random.split(key, 3)
+        x_real, labels_r = data_fn(k_data, batch)
+        x_real = constrain(x_real)
+        z = constrain(bundle.sample_z(k_z, batch))
+        labels_f = (bundle.sample_labels(k_lab, batch)
+                    if bundle.conditional else None)
+        # G in train mode (batch statistics) but its stats only advance in
+        # the G update — clean ownership of BN state.
+        x_fake, _ = bundle.generate(state.g_vars, z, labels_f, train=True)
+        x_fake = jax.lax.stop_gradient(x_fake)
+
+        def loss_fn(d_params):
+            d_vars = _with_params(state.d_vars, d_params)
+            lr_real, upd = bundle.discriminate(d_vars, x_real, labels_r,
+                                               train=True)
+            d_vars2 = _merge_stats(d_vars, upd)
+            lr_fake, upd2 = bundle.discriminate(d_vars2, x_fake, labels_f,
+                                                train=True)
+            loss = nonsaturating_d_loss(lr_real, lr_fake)
+            return loss, (upd2, lr_real, lr_fake)
+
+        (loss, (upd, lr_real, lr_fake)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.d_vars["params"])
+        updates, d_opt = d_tx.update(grads, state.d_opt,
+                                     state.d_vars["params"])
+        d_params = optax.apply_updates(state.d_vars["params"], updates)
+        d_vars = _merge_stats(_with_params(state.d_vars, d_params), upd)
+        state = state.replace(d_vars=d_vars, d_opt=d_opt)
+        return state, {"d_loss": loss,
+                       "d_real": jnp.mean(lr_real),
+                       "d_fake": jnp.mean(lr_fake)}
+
+    def g_update(state: TrainState, key: jax.Array):
+        k_z, k_lab = jax.random.split(key)
+        z = constrain(bundle.sample_z(k_z, batch))
+        labels = (bundle.sample_labels(k_lab, batch)
+                  if bundle.conditional else None)
+
+        def loss_fn(g_params):
+            g_vars = _with_params(state.g_vars, g_params)
+            x_fake, upd = bundle.generate(g_vars, z, labels, train=True)
+            # D in train mode (batch statistics — running stats are not yet
+            # meaningful early in training) but its stat updates discarded.
+            logits, _ = bundle.discriminate(state.d_vars, x_fake, labels,
+                                            train=True)
+            return nonsaturating_g_loss(logits), upd
+
+        (loss, upd), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.g_vars["params"])
+        updates, g_opt = g_tx.update(grads, state.g_opt,
+                                     state.g_vars["params"])
+        g_params = optax.apply_updates(state.g_vars["params"], updates)
+        g_vars = _merge_stats(_with_params(state.g_vars, g_params), upd)
+        state = state.replace(g_vars=g_vars, g_opt=g_opt)
+        return state, {"g_loss": loss}
+
+    def train_step(state: TrainState, _):
+        metrics = {}
+        for i in range(cfg.d_steps):
+            state, m = d_update(
+                state, step_key(base_key, state.step * cfg.d_steps + i,
+                                "data"))
+            metrics.update(m)
+        for i in range(cfg.g_steps):
+            state, m = g_update(
+                state, step_key(base_key, state.step * cfg.g_steps + i, "z"))
+            metrics.update(m)
+        state = state.replace(step=state.step + 1)
+        return state, metrics
+
+    @jax.jit
+    def chunk(state: TrainState):
+        state, ms = jax.lax.scan(train_step, state, None, length=n_steps)
+        return state, jax.tree.map(lambda a: a.mean(0), ms)
+
+    return chunk
