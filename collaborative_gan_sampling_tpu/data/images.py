@@ -80,7 +80,7 @@ def normalize_images(u8: jax.Array) -> jax.Array:
 
 def denormalize_images(x: jax.Array) -> jax.Array:
     """float [-1,1] -> uint8 [0,255] (reference inverse_transform())."""
-    return jnp.clip((x + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
+    return jnp.clip(jnp.round((x + 1.0) * 127.5), 0, 255).astype(jnp.uint8)
 
 
 # ---------------------------------------------------------------------------

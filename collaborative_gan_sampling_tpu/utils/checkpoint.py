@@ -29,7 +29,7 @@ def save_checkpoint(ckpt_dir: str, step: int, state: Any,
                     keep: int = 3) -> str:
     """Atomically write `state` (any pytree) for `step`; prune old ckpts."""
     os.makedirs(ckpt_dir, exist_ok=True)
-    state = jax.device_get(state)
+    state = serialization.to_state_dict(jax.device_get(state))
     path = _ckpt_path(ckpt_dir, step)
     tmp = path + ".tmp"
     with open(tmp, "wb") as fh:

@@ -1,0 +1,44 @@
+import json
+
+import pytest
+
+from collaborative_gan_sampling_tpu.config import (
+    apply_overrides,
+    get_preset,
+    list_presets,
+)
+
+
+def test_all_presets_build():
+    for name in list_presets():
+        cfg = get_preset(name)
+        assert cfg.name == name
+        json.loads(cfg.to_json())  # serializable
+
+
+def test_presets_cover_baseline_configs():
+    # BASELINE.json's five configs, by preset name.
+    for required in ["toy2d", "mnist", "fmnist", "cifar10", "celeba",
+                     "imagenet64"]:
+        assert required in list_presets()
+
+
+def test_imagenet64_is_class_conditional():
+    assert get_preset("imagenet64").model.num_classes == 1000
+
+
+def test_overrides_nested_and_types():
+    cfg = get_preset("toy2d")
+    cfg = apply_overrides(cfg, ["train.batch_size=64", "refine.steps=50",
+                                "refine.rate=0.05", "refine.use_pallas=false",
+                                "--model.kind=dcgan"])
+    assert cfg.train.batch_size == 64
+    assert cfg.refine.steps == 50
+    assert cfg.refine.rate == pytest.approx(0.05)
+    assert cfg.refine.use_pallas is False
+    assert cfg.model.kind == "dcgan"
+
+
+def test_override_unknown_field_raises():
+    with pytest.raises(KeyError):
+        apply_overrides(get_preset("toy2d"), ["train.nope=1"])

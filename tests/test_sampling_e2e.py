@@ -1,0 +1,118 @@
+"""End-to-end sampling strategies on a tiny trained toy GAN (CPU-runnable)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from collaborative_gan_sampling_tpu.config import (
+    ModelConfig,
+    RefineConfig,
+    TrainConfig,
+)
+from collaborative_gan_sampling_tpu.data import make_mixture, sample_mixture
+from collaborative_gan_sampling_tpu.evals import metrics_2d
+from collaborative_gan_sampling_tpu.models import make_bundle
+from collaborative_gan_sampling_tpu.sampling import METHODS, sample
+from collaborative_gan_sampling_tpu.training import (
+    create_train_state,
+    make_train_chunk,
+)
+
+
+@pytest.fixture(scope="module")
+def trained_toy():
+    mcfg = ModelConfig(kind="mlp", z_dim=4, g_hidden=64, d_hidden=64,
+                       compute_dtype="float32")
+    tcfg = TrainConfig(batch_size=128, steps_per_call=100, d_lr=1e-3,
+                       g_lr=1e-3)
+    bundle = make_bundle(mcfg)
+    spec = make_mixture("ring8_imbalanced", std=0.1)
+    data_fn = lambda key, n: (sample_mixture(key, spec, n), None)
+    base = jax.random.PRNGKey(0)
+    state = create_train_state(bundle, tcfg, base)
+    chunk = make_train_chunk(bundle, tcfg, data_fn, base)
+    for _ in range(6):  # 600 iters — deliberately imperfect generator
+        state, _ = chunk(state)
+    return bundle, state, spec, data_fn
+
+
+RCFG = RefineConfig(steps=10, rate=0.1, num_batches=6, batch_size=128,
+                    burn_in=256, mh_chain_len=20, use_pallas=False)
+
+
+@pytest.mark.parametrize("method", METHODS)
+def test_every_method_produces_finite_samples(trained_toy, method):
+    bundle, state, spec, data_fn = trained_toy
+    res = sample(bundle, state.g_vars, state.d_vars, RCFG,
+                 jax.random.PRNGKey(1), method=method, data_fn=data_fn)
+    n = RCFG.num_batches * RCFG.batch_size
+    assert res.samples.shape == (n, 2)
+    assert res.logits.shape == (n,)
+    assert res.accepted.shape == (n,)
+    assert np.isfinite(np.asarray(res.samples)).all()
+    if method in ("standard", "refinement", "mhgan"):
+        assert res.accept_rate == 1.0
+    else:
+        assert 0.05 < res.accept_rate < 0.95  # DRS-style selectivity
+
+
+def test_refinement_improves_hq(trained_toy):
+    bundle, state, spec, data_fn = trained_toy
+    key = jax.random.PRNGKey(2)
+    std = sample(bundle, state.g_vars, state.d_vars, RCFG, key,
+                 method="standard", data_fn=data_fn)
+    ref = sample(bundle, state.g_vars, state.d_vars, RCFG, key,
+                 method="refinement", data_fn=data_fn)
+    m_std = metrics_2d(std.samples, spec)
+    m_ref = metrics_2d(ref.samples, spec)
+    assert float(m_ref["pct_hq"]) > float(m_std["pct_hq"]) - 0.01
+
+
+def test_collab_beats_standard(trained_toy):
+    """The paper's scientific claim as an executable assertion
+    (SURVEY.md section 4): collab improves %HQ and KL over standard."""
+    bundle, state, spec, data_fn = trained_toy
+    key = jax.random.PRNGKey(3)
+    rcfg = dataclasses.replace(RCFG, num_batches=12)
+    std = sample(bundle, state.g_vars, state.d_vars, rcfg, key,
+                 method="standard", data_fn=data_fn)
+    col = sample(bundle, state.g_vars, state.d_vars, rcfg, key,
+                 method="collab", data_fn=data_fn)
+    m_std = metrics_2d(std.samples, spec)
+    m_col = metrics_2d(col.samples, spec,
+                       weights=col.accepted.astype(jnp.float32))
+    assert float(m_col["pct_hq"]) > float(m_std["pct_hq"])
+    assert float(m_col["kl"]) < float(m_std["kl"])
+
+
+def test_collab_returns_shaped_discriminator(trained_toy):
+    bundle, state, spec, data_fn = trained_toy
+    res = sample(bundle, state.g_vars, state.d_vars, RCFG,
+                 jax.random.PRNGKey(4), method="collab", data_fn=data_fn)
+    shaped = res.aux["shaped_d_vars"]
+    before = jax.tree_util.tree_leaves(state.d_vars["params"])
+    after = jax.tree_util.tree_leaves(shaped["params"])
+    assert any(not np.allclose(a, b) for a, b in zip(before, after))
+    assert int(res.aux["shaping_steps_done"]) == RCFG.num_batches
+
+
+def test_accepted_samples_compaction(trained_toy):
+    bundle, state, spec, data_fn = trained_toy
+    res = sample(bundle, state.g_vars, state.d_vars, RCFG,
+                 jax.random.PRNGKey(5), method="reject", data_fn=data_fn)
+    acc = res.accepted_samples()
+    assert acc.shape[0] == int(np.asarray(res.accepted).sum())
+    assert acc.shape[1:] == (2,)
+
+
+def test_sampling_deterministic_given_key(trained_toy):
+    bundle, state, spec, data_fn = trained_toy
+    r1 = sample(bundle, state.g_vars, state.d_vars, RCFG,
+                jax.random.PRNGKey(6), method="refinement", data_fn=data_fn)
+    r2 = sample(bundle, state.g_vars, state.d_vars, RCFG,
+                jax.random.PRNGKey(6), method="refinement", data_fn=data_fn)
+    np.testing.assert_array_equal(np.asarray(r1.samples),
+                                  np.asarray(r2.samples))
