@@ -1,0 +1,115 @@
+"""CLI (L6/C16): ``python -m collaborative_gan_sampling_tpu.cli <cmd> ...``.
+
+Replaces the reference's per-experiment main scripts
+(``synthetic/main_synthetic.py``, ``celebA/main.py``, ``mnist/main*.py`` —
+approximate paths, SURVEY.md L6) with one entry point over named presets:
+
+    cli train      --config toy2d [a.b=c ...]
+    cli refine     --config toy2d refine.method=refinement
+    cli collab     --config toy2d              # refine + reject + shape
+    cli benchmark  --config toy2d              # all 5 strategies, one table
+    cli eval       --config mnist              # FID / 2D metrics
+    cli sweep      --config imagenet64 'sweep_steps=1,5,10,20,50'
+
+Any config field is overridable as dotted key=value (config.apply_overrides).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import jax
+
+from collaborative_gan_sampling_tpu.config import (
+    apply_overrides,
+    get_preset,
+    list_presets,
+)
+from collaborative_gan_sampling_tpu.pipeline import Experiment
+
+
+def _build_cfg(args, overrides):
+    cfg = get_preset(args.config)
+    if args.workdir:
+        cfg = cfg.replace(workdir=args.workdir)
+    return apply_overrides(cfg, overrides)
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = argv if argv is not None else sys.argv[1:]
+    parser = argparse.ArgumentParser(prog="cgs")
+    parser.add_argument("command",
+                        choices=["train", "refine", "collab", "benchmark",
+                                 "eval", "sweep", "presets"])
+    parser.add_argument("--config", default="toy2d",
+                        help=f"preset: {list_presets()}")
+    parser.add_argument("--workdir", default="")
+    parser.add_argument("--mesh", action="store_true",
+                        help="use all visible devices data-parallel")
+    parser.add_argument("--method", default="",
+                        help="sampling method override for refine/eval")
+    args, overrides = parser.parse_known_args(argv)
+
+    if args.command == "presets":
+        print(json.dumps(list_presets()))
+        return 0
+
+    sweep_steps = [1, 5, 10, 20, 50]
+    kept = []
+    for ov in overrides:
+        if ov.startswith("sweep_steps="):
+            sweep_steps = [int(s) for s in ov.split("=", 1)[1].split(",")]
+        else:
+            kept.append(ov)
+    cfg = _build_cfg(args, kept)
+    exp = Experiment(cfg, use_mesh=args.mesh)
+
+    if args.command == "train":
+        state = exp.train()
+        print(json.dumps({"trained_steps": int(state.step),
+                          "workdir": cfg.workdir}))
+        return 0
+
+    state = exp.load_or_train()
+
+    if args.command in ("refine", "collab"):
+        method = (args.method or
+                  ("collab" if args.command == "collab"
+                   else cfg.refine.method))
+        res = exp.sample(state, method=method)
+        metrics = exp.evaluate(res)
+        print(json.dumps({"method": method, **metrics}))
+        return 0
+
+    if args.command == "benchmark":
+        table = exp.benchmark(state)
+        print(json.dumps(table, indent=2))
+        return 0
+
+    if args.command == "eval":
+        method = args.method or cfg.refine.method
+        res = exp.sample(state, method=method)
+        print(json.dumps({"method": method, **exp.evaluate(res)}))
+        return 0
+
+    if args.command == "sweep":
+        # BASELINE config 5: refinement-depth sweep k=1..50, data-parallel.
+        import dataclasses
+        out = {}
+        for k in sweep_steps:
+            cfg_k = dataclasses.replace(cfg, refine=dataclasses.replace(
+                cfg.refine, steps=k))
+            exp_k = Experiment(cfg_k, use_mesh=args.mesh)
+            res = exp_k.sample(state, method="refinement")
+            out[k] = exp_k.evaluate(res)
+            print(json.dumps({"k": k, **out[k]}), file=sys.stderr)
+        print(json.dumps(out))
+        return 0
+
+    raise AssertionError(args.command)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

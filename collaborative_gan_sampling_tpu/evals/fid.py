@@ -1,0 +1,100 @@
+"""FID evaluation (C13) — fully on-device moments + Frechet distance.
+
+Reference pipeline (``fid.py`` per experiment dir, approximate path —
+SURVEY.md C13 / call stack 3.4): batched Inception pool3 activations via
+``sess.run`` per batch, host-side (mu, Sigma) with numpy, Frechet distance
+with ``scipy.linalg.sqrtm`` on the host, compared against precomputed real
+stats from an npz.
+
+TPU-native design:
+* feature extraction is a jitted ``lax.scan`` over batches (G sampling and
+  the feature net fused in one program for the fake branch);
+* (mu, Sigma) accumulate on device in float32 via sum / outer-product sums
+  (one (F,N)x(N,F) matmul per batch on the MXU);
+* the Frechet distance runs on device with a Newton-Schulz matrix sqrt
+  (ops/sqrtm.py) — no scipy, no host sync;
+* real-data stats can be computed once and cached (the npz pattern),
+  see ``compute_dataset_stats`` / ``FIDStats``.
+
+Under a data-parallel Mesh the batch axis of the feature pass shards over
+devices and XLA all-reduces the moment sums over ICI (SURVEY.md C18/C19).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from collaborative_gan_sampling_tpu.ops.sqrtm import trace_sqrtm_product
+
+
+class FIDStats(NamedTuple):
+    mu: jax.Array  # (F,)
+    sigma: jax.Array  # (F, F)
+    n: jax.Array  # scalar float32
+
+
+def stats_from_features(feats: jax.Array) -> FIDStats:
+    """Exact (mu, Sigma) of a (N, F) feature matrix (unbiased covariance)."""
+    n = feats.shape[0]
+    mu = jnp.mean(feats, axis=0)
+    centered = feats - mu
+    sigma = (centered.T @ centered) / (n - 1)
+    return FIDStats(mu=mu, sigma=sigma, n=jnp.float32(n))
+
+
+def _merge_moment_sums(s: jax.Array, ss: jax.Array, n: float) -> FIDStats:
+    """(sum x, sum x x^T, n) -> unbiased (mu, Sigma)."""
+    mu = s / n
+    sigma = (ss - n * jnp.outer(mu, mu)) / (n - 1)
+    return FIDStats(mu=mu, sigma=sigma, n=jnp.float32(n))
+
+
+def streaming_stats(feature_fn: Callable, batch_fn: Callable,
+                    num_batches: int, batch_size: int,
+                    key: jax.Array) -> FIDStats:
+    """Accumulate (mu, Sigma) over `num_batches` batches on device.
+
+    `batch_fn(key, n) -> x` produces images in [-1, 1]; `feature_fn(x) ->
+    (n, F)`. The whole loop is one jitted scan: O(F^2) accumulator state,
+    never materialises the (N, F) feature matrix.
+    """
+    feat_dim = feature_fn(batch_fn(key, 1)).shape[-1]
+
+    def body(carry, i):
+        s, ss = carry
+        x = batch_fn(jax.random.fold_in(key, i), batch_size)
+        f = feature_fn(x)
+        return (s + jnp.sum(f, axis=0), ss + f.T @ f), None
+
+    init = (jnp.zeros((feat_dim,), jnp.float32),
+            jnp.zeros((feat_dim, feat_dim), jnp.float32))
+    (s, ss), _ = jax.lax.scan(body, init, jnp.arange(num_batches))
+    return _merge_moment_sums(s, ss, num_batches * batch_size)
+
+
+def frechet_distance(a: FIDStats, b: FIDStats,
+                     newton_schulz_iters: int = 20) -> jax.Array:
+    """FID = ||mu_a - mu_b||^2 + Tr(Sa + Sb - 2 (Sa Sb)^(1/2)), on device."""
+    diff = a.mu - b.mu
+    tr_cross = trace_sqrtm_product(a.sigma, b.sigma, newton_schulz_iters)
+    return (jnp.dot(diff, diff) + jnp.trace(a.sigma) + jnp.trace(b.sigma)
+            - 2.0 * tr_cross)
+
+
+def fid_between(feature_fn: Callable, real_fn: Callable, fake_fn: Callable,
+                num_samples: int, batch_size: int, key: jax.Array,
+                newton_schulz_iters: int = 20) -> jax.Array:
+    """End-to-end FID between two samplers, one compiled program each side."""
+    num_batches = max(1, num_samples // batch_size)
+    k_r, k_f = jax.random.split(key)
+    stats_fn = jax.jit(
+        lambda fn, k: streaming_stats(feature_fn, fn, num_batches,
+                                      batch_size, k),
+        static_argnums=0)
+    real = stats_fn(real_fn, k_r)
+    fake = stats_fn(fake_fn, k_f)
+    return jax.jit(frechet_distance, static_argnums=2)(
+        real, fake, newton_schulz_iters)

@@ -1,0 +1,223 @@
+"""Experiment orchestration: wires config -> data -> models -> train ->
+sample -> eval.
+
+This is the layer the reference spreads across its per-experiment
+``main*.py`` scripts (SURVEY.md section 3 call stacks); here it is one
+reusable `Experiment` object used by the CLI, the benchmark harness
+(bench.py) and the tests. Phases mirror the reference's modes:
+
+* ``train``     — GAN training with periodic logging/checkpoints (3.1/3.3)
+* ``sample``    — any of the five strategies on a restored ckpt (3.2)
+* ``benchmark`` — the method-comparison matrix (3.5)
+* ``evaluate``  — 2D metrics or FID (3.4)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from collaborative_gan_sampling_tpu.config import Config
+from collaborative_gan_sampling_tpu.data import (
+    load_image_dataset,
+    make_mixture,
+    sample_mixture,
+)
+from collaborative_gan_sampling_tpu.evals import metrics_2d
+from collaborative_gan_sampling_tpu.evals.features import make_feature_fn
+from collaborative_gan_sampling_tpu.evals.fid import (
+    frechet_distance,
+    streaming_stats,
+)
+from collaborative_gan_sampling_tpu.models import GANBundle, make_bundle
+from collaborative_gan_sampling_tpu.parallel.mesh import make_mesh, replicate
+from collaborative_gan_sampling_tpu.sampling import METHODS, SampleResult, sample
+from collaborative_gan_sampling_tpu.training import (
+    TrainState,
+    create_train_state,
+    make_train_chunk,
+)
+from collaborative_gan_sampling_tpu.utils.checkpoint import (
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from collaborative_gan_sampling_tpu.utils.logging import MetricsWriter
+from collaborative_gan_sampling_tpu.utils.prng import step_key
+
+
+class Experiment:
+    def __init__(self, cfg: Config, use_mesh: bool = False,
+                 echo_metrics: bool = True):
+        self.cfg = cfg
+        self.bundle: GANBundle = make_bundle(cfg.model)
+        self.base_key = jax.random.PRNGKey(cfg.seed)
+        self.workdir = cfg.workdir
+        self.ckpt_dir = os.path.join(cfg.workdir, "ckpts")
+        self.mesh = (make_mesh(cfg.mesh.data_axis)
+                     if use_mesh and len(jax.devices()) > 1 else None)
+        self._echo = echo_metrics
+
+        self.is_2d = cfg.model.kind == "mlp"
+        if self.is_2d:
+            self.spec = make_mixture(cfg.data.dataset, cfg.data.ring_radius,
+                                     cfg.data.mixture_std)
+
+            def data_fn(key, n):
+                return sample_mixture(key, self.spec, n), None
+        else:
+            self.dataset = load_image_dataset(cfg.data,
+                                              image_size=cfg.model.image_size)
+
+            def data_fn(key, n):
+                imgs, labels = self.dataset.batch(key, n)
+                if not self.bundle.conditional:
+                    labels = None
+                return imgs, labels
+
+        self.data_fn: Callable = data_fn
+
+    # -- training -----------------------------------------------------------
+
+    def train(self, niters: int | None = None, resume: bool = True,
+              state: TrainState | None = None) -> TrainState:
+        cfg = self.cfg
+        niters = niters if niters is not None else cfg.train.niters
+        if state is None:
+            state = create_train_state(self.bundle, cfg.train, self.base_key)
+            if resume:
+                path = latest_checkpoint(self.ckpt_dir)
+                if path:
+                    state = restore_checkpoint(path, target=state)
+        if self.mesh is not None:
+            state = replicate(self.mesh, state)
+        chunk = make_train_chunk(self.bundle, cfg.train, self.data_fn,
+                                 self.base_key, mesh=self.mesh)
+        spc = cfg.train.steps_per_call
+        writer = MetricsWriter(os.path.join(self.workdir, "train.jsonl"),
+                               echo=self._echo)
+        try:
+            while int(state.step) < niters:
+                state, metrics = chunk(state)
+                step = int(state.step)
+                if step % max(spc, cfg.train.log_every) < spc or step >= niters:
+                    writer.write(step, phase="train", **metrics)
+                if cfg.train.ckpt_every and (
+                        step % cfg.train.ckpt_every < spc or step >= niters):
+                    save_checkpoint(self.ckpt_dir, step, state)
+        finally:
+            writer.close()
+        return state
+
+    def load_state(self) -> TrainState:
+        """Restore the latest training checkpoint (the sampling phases'
+        entry condition, like the reference's Saver.restore)."""
+        state = create_train_state(self.bundle, self.cfg.train, self.base_key)
+        path = latest_checkpoint(self.ckpt_dir)
+        if path is None:
+            raise FileNotFoundError(
+                f"no checkpoint under {self.ckpt_dir}; run train first")
+        state = restore_checkpoint(path, target=state)
+        if self.mesh is not None:
+            state = replicate(self.mesh, state)
+        return state
+
+    def load_or_train(self, niters: int | None = None) -> TrainState:
+        try:
+            return self.load_state()
+        except FileNotFoundError:
+            return self.train(niters=niters)
+
+    # -- sampling -----------------------------------------------------------
+
+    def sample(self, state: TrainState, method: str | None = None,
+               key: jax.Array | None = None) -> SampleResult:
+        key = key if key is not None else step_key(self.base_key, 0, "eval")
+        return sample(self.bundle, state.g_vars, state.d_vars,
+                      self.cfg.refine, key, method=method,
+                      data_fn=self.data_fn, mesh=self.mesh)
+
+    # -- evaluation ---------------------------------------------------------
+
+    def evaluate_2d(self, result: SampleResult) -> dict[str, float]:
+        m = metrics_2d(result.samples, self.spec,
+                       hq_std=self.cfg.eval.hq_std,
+                       weights=result.accepted.astype(jnp.float32))
+        out = {k: float(v) for k, v in m.items()}
+        out["accept_rate"] = result.accept_rate
+        return out
+
+    def _feature_fn(self):
+        if not hasattr(self, "_cached_feature_fn"):
+            self._cached_feature_fn, self._feature_label = make_feature_fn(
+                self.cfg.eval.feature_net, self.bundle.data_shape,
+                seed=self.cfg.seed)
+        return self._cached_feature_fn
+
+    def real_stats(self, key: jax.Array | None = None):
+        """(mu, Sigma) of the real data under the feature net (the
+        reference's precomputed-npz pattern — computed once, cached)."""
+        if not hasattr(self, "_real_stats"):
+            cfg = self.cfg.eval
+            key = key if key is not None else step_key(self.base_key, 1,
+                                                       "eval")
+            feature_fn = self._feature_fn()
+            nb = max(1, cfg.fid_num_samples // cfg.fid_batch_size)
+
+            def real_batch(k, n):
+                x, _ = self.data_fn(k, n)
+                return x
+
+            self._real_stats = jax.jit(
+                lambda k: streaming_stats(feature_fn, real_batch, nb,
+                                          cfg.fid_batch_size, k))(key)
+        return self._real_stats
+
+    def fid_of_samples(self, samples: jax.Array,
+                       accepted: jax.Array | None = None) -> float:
+        """FID between the real stats and a pool of samples (optionally the
+        accepted subset — host-compacted then re-batched)."""
+        from collaborative_gan_sampling_tpu.evals.fid import (
+            stats_from_features,
+        )
+        feature_fn = self._feature_fn()
+        if accepted is not None:
+            mask = jax.device_get(accepted).astype(bool)
+            samples = jax.device_get(samples)[mask]
+        samples = jnp.asarray(samples)
+        bs = self.cfg.eval.fid_batch_size
+        n = (samples.shape[0] // bs) * bs
+        if n == 0:
+            n, bs = samples.shape[0], samples.shape[0]
+        feats = jax.lax.map(feature_fn,
+                            samples[:n].reshape(-1, bs, *samples.shape[1:]))
+        stats = stats_from_features(feats.reshape(-1, feats.shape[-1]))
+        return float(frechet_distance(stats, self.real_stats(),
+                                      self.cfg.eval.newton_schulz_iters))
+
+    def evaluate(self, result: SampleResult) -> dict[str, float]:
+        if self.is_2d:
+            return self.evaluate_2d(result)
+        out = {"fid": self.fid_of_samples(result.samples, result.accepted),
+               "accept_rate": result.accept_rate,
+               "feature_net": 0.0}
+        return out
+
+    # -- benchmark matrix ---------------------------------------------------
+
+    def benchmark(self, state: TrainState,
+                  methods: tuple[str, ...] = METHODS) -> dict[str, dict]:
+        """The reference's mode=='benchmark': all strategies side by side."""
+        writer = MetricsWriter(os.path.join(self.workdir, "benchmark.jsonl"),
+                               echo=self._echo)
+        table = {}
+        for method in methods:
+            res = self.sample(state, method=method)
+            table[method] = self.evaluate(res)
+            writer.write(int(state.step), phase="benchmark", method=method,
+                         **table[method])
+        writer.close()
+        return table

@@ -177,7 +177,7 @@ def _sample_reject(bundle, g_vars, d_vars, cfg, key, data_fn, mesh,
             x, labels = _draw(bundle, g_vars, k, n, mesh)
             if refine is not None:
                 x, _ = refine(d_vars, x, labels)
-            return x
+            return x, labels
 
         m = estimate_logit_max(bundle, d_vars, burn_sample, k_burn,
                                cfg.burn_in, cfg.batch_size)
@@ -281,7 +281,7 @@ def _sample_collab(bundle, g_vars, d_vars, cfg, key, data_fn, mesh):
         def burn_sample(k, n):
             x, labels = _draw(bundle, g_vars, k, n, mesh)
             x, _ = refine(shaping_state0.d_vars, x, labels)
-            return x
+            return x, labels
 
         m0 = estimate_logit_max(bundle, shaping_state0.d_vars, burn_sample,
                                 k_burn, cfg.burn_in, cfg.batch_size)

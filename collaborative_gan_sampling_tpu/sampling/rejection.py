@@ -61,20 +61,19 @@ def drs_accept_mask(key: jax.Array, logits: jax.Array, logit_max: jax.Array,
 
 
 def estimate_logit_max(bundle, d_vars: Any, sample_fn: Callable,
-                       key: jax.Array, burn_in: int, batch_size: int,
-                       labels_fn: Callable | None = None) -> jax.Array:
+                       key: jax.Array, burn_in: int,
+                       batch_size: int) -> jax.Array:
     """Burn-in estimate of M = max_x F(x) over `burn_in` generated samples.
 
-    `sample_fn(key, n) -> x` produces candidate samples (typically G(z), or
-    refined G(z) in collab mode). Jittable: fixed number of batches.
+    `sample_fn(key, n) -> (x, labels_or_None)` produces candidate samples
+    (typically G(z), or refined G(z) in collab mode) with their conditioning
+    labels. Jittable: fixed number of batches.
     """
     n_batches = max(1, burn_in // batch_size)
 
     def body(carry, i):
         k = jax.random.fold_in(key, i)
-        k_s, k_l = jax.random.split(k)
-        x = sample_fn(k_s, batch_size)
-        labels = labels_fn(k_l, batch_size) if labels_fn else None
+        x, labels = sample_fn(k, batch_size)
         logits = bundle.discriminate(d_vars, x, labels, train=False)
         return jnp.maximum(carry, jnp.max(logits)), None
 

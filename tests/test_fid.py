@@ -1,0 +1,107 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.linalg
+
+from collaborative_gan_sampling_tpu.evals import (
+    FIDStats,
+    frechet_distance,
+    make_feature_fn,
+    stats_from_features,
+    streaming_stats,
+)
+from collaborative_gan_sampling_tpu.ops.sqrtm import (
+    sqrtm_newton_schulz,
+    trace_sqrtm_product,
+)
+
+
+def _random_psd(key, n, cond=10.0):
+    q, _ = np.linalg.qr(np.asarray(
+        jax.random.normal(key, (n, n)), np.float64))
+    eigs = np.linspace(1.0, cond, n)
+    return (q * eigs) @ q.T
+
+
+def test_sqrtm_matches_scipy():
+    a = _random_psd(jax.random.PRNGKey(0), 16)
+    got = np.asarray(sqrtm_newton_schulz(jnp.asarray(a, jnp.float32), 30))
+    want = scipy.linalg.sqrtm(a).real
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_trace_sqrtm_product_matches_scipy():
+    s1 = _random_psd(jax.random.PRNGKey(1), 12)
+    s2 = _random_psd(jax.random.PRNGKey(2), 12, cond=5.0)
+    got = float(trace_sqrtm_product(jnp.asarray(s1, jnp.float32),
+                                    jnp.asarray(s2, jnp.float32), 30))
+    want = np.trace(scipy.linalg.sqrtm(s1 @ s2)).real
+    assert got == pytest.approx(want, rel=2e-3)
+
+
+def test_frechet_closed_form_identical_gaussians():
+    s = _random_psd(jax.random.PRNGKey(3), 8)
+    st = FIDStats(mu=jnp.zeros(8), sigma=jnp.asarray(s, jnp.float32),
+                  n=jnp.float32(1e4))
+    fid = float(frechet_distance(st, st, 30))
+    assert abs(fid) < 0.05  # exactly zero in exact arithmetic
+
+
+def test_frechet_closed_form_mean_shift():
+    # Same covariance, shifted mean: FID = ||dmu||^2 exactly.
+    s = _random_psd(jax.random.PRNGKey(4), 8)
+    mu2 = jnp.asarray(np.arange(8), jnp.float32)
+    a = FIDStats(jnp.zeros(8), jnp.asarray(s, jnp.float32), jnp.float32(1))
+    b = FIDStats(mu2, jnp.asarray(s, jnp.float32), jnp.float32(1))
+    want = float(jnp.dot(mu2, mu2))
+    assert float(frechet_distance(a, b, 30)) == pytest.approx(want, rel=1e-2)
+
+
+def test_frechet_closed_form_diagonal():
+    # Diagonal Gaussians: FID = ||dmu||^2 + sum (sqrt(s1) - sqrt(s2))^2.
+    d1 = np.array([1.0, 2.0, 3.0], np.float32)
+    d2 = np.array([2.0, 2.0, 1.0], np.float32)
+    a = FIDStats(jnp.zeros(3), jnp.diag(jnp.asarray(d1)), jnp.float32(1))
+    b = FIDStats(jnp.ones(3), jnp.diag(jnp.asarray(d2)), jnp.float32(1))
+    want = 3.0 + float(np.sum((np.sqrt(d1) - np.sqrt(d2)) ** 2))
+    assert float(frechet_distance(a, b, 30)) == pytest.approx(want, rel=1e-2)
+
+
+def test_streaming_stats_match_direct():
+    key = jax.random.PRNGKey(5)
+
+    def feature_fn(x):
+        return x
+
+    def batch_fn(k, n):
+        return jax.random.normal(k, (n, 6)) * 2 + 1
+
+    st_stream = jax.jit(
+        lambda k: streaming_stats(feature_fn, batch_fn, 50, 64, k))(key)
+    # Ground truth from a big direct sample of the same distribution.
+    direct = stats_from_features(
+        jax.random.normal(jax.random.PRNGKey(9), (3200, 6)) * 2 + 1)
+    np.testing.assert_allclose(np.asarray(st_stream.mu),
+                               np.asarray(direct.mu), atol=0.15)
+    np.testing.assert_allclose(np.asarray(st_stream.sigma),
+                               np.asarray(direct.sigma), atol=0.4)
+
+
+def test_fid_discriminates_distributions():
+    """FID(real, real') << FID(real, shifted) with the random_conv net."""
+    feature_fn, label = make_feature_fn("random_conv", (16, 16, 1))
+    assert label == "random_conv"
+    key = jax.random.PRNGKey(0)
+
+    def mk(k, shift):
+        return jnp.clip(
+            jax.random.normal(k, (128, 16, 16, 1)) * 0.2 + shift, -1, 1)
+
+    f_real1 = feature_fn(mk(jax.random.fold_in(key, 0), 0.0))
+    f_real2 = feature_fn(mk(jax.random.fold_in(key, 1), 0.0))
+    f_shift = feature_fn(mk(jax.random.fold_in(key, 2), 0.8))
+    s1, s2, s3 = map(stats_from_features, (f_real1, f_real2, f_shift))
+    fid_same = float(frechet_distance(s1, s2, 25))
+    fid_diff = float(frechet_distance(s1, s3, 25))
+    assert fid_diff > 10 * max(fid_same, 1e-3)

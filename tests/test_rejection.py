@@ -72,7 +72,7 @@ def test_estimate_logit_max():
             return jnp.sum(x, axis=-1)
 
     def sample_fn(key, n):
-        return jax.random.normal(key, (n, 2))
+        return jax.random.normal(key, (n, 2)), None
 
     m = estimate_logit_max(Stub(), {}, sample_fn, jax.random.PRNGKey(0),
                            burn_in=2048, batch_size=256)
