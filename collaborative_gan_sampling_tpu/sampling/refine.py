@@ -57,6 +57,20 @@ def make_refine_fn(bundle: GANBundle, cfg: RefineConfig,
 
     def refine(d_vars: Any, x0: jax.Array,
                labels: jax.Array | None = None):
+        # Fused Pallas fast path (MLP D, unconditional, no clipping, no
+        # trajectory): the whole K-step loop in one kernel, x VMEM-resident.
+        if not return_trajectory:
+            from collaborative_gan_sampling_tpu.ops.refine_pallas import (
+                fused_refine_mlp,
+                supports_pallas_refine,
+            )
+            if supports_pallas_refine(bundle, cfg, labels):
+                x_k, logits = fused_refine_mlp(d_vars, x0, steps, rate)
+                return x_k, {"logits": logits}
+        return _refine_scan(d_vars, x0, labels)
+
+    def _refine_scan(d_vars: Any, x0: jax.Array,
+                     labels: jax.Array | None = None):
         def loss_sum(x):
             logits = bundle.discriminate(d_vars, x, labels, train=False)
             return jnp.sum(refine_loss_per_sample(logits))
