@@ -77,6 +77,11 @@ def measure_refine_throughput(batch_size: int, steps_k: int,
 
 def main() -> int:
     p = argparse.ArgumentParser()
+    from collaborative_gan_sampling_tpu.utils.compile_cache import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
     p.add_argument("--batch", type=int, default=4096)
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--no-tf-baseline", action="store_true")

@@ -39,6 +39,11 @@ def _build_cfg(args, overrides):
 
 def main(argv: list[str] | None = None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
+    from collaborative_gan_sampling_tpu.utils.compile_cache import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
     parser = argparse.ArgumentParser(prog="cgs")
     parser.add_argument("command",
                         choices=["train", "refine", "collab", "benchmark",

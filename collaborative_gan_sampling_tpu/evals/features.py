@@ -37,8 +37,11 @@ class RandomConvFeatures(nn.Module):
     so downstream covariance code paths run at representative sizes.
     """
 
+    # feature_dim 512 (not Inception's 2048): random features carry less
+    # information per dimension, and 512 keeps finite-sample covariances
+    # well-conditioned at the 5-10k sample counts the offline configs use.
     base: int = 32
-    feature_dim: int = 2048
+    feature_dim: int = 512
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact

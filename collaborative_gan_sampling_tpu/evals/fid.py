@@ -27,7 +27,10 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from collaborative_gan_sampling_tpu.ops.sqrtm import trace_sqrtm_product
+from collaborative_gan_sampling_tpu.ops.sqrtm import (
+    trace_sqrtm_product,
+    trace_sqrtm_product_eigh,
+)
 
 
 class FIDStats(NamedTuple):
@@ -76,10 +79,19 @@ def streaming_stats(feature_fn: Callable, batch_fn: Callable,
 
 
 def frechet_distance(a: FIDStats, b: FIDStats,
-                     newton_schulz_iters: int = 20) -> jax.Array:
-    """FID = ||mu_a - mu_b||^2 + Tr(Sa + Sb - 2 (Sa Sb)^(1/2)), on device."""
+                     newton_schulz_iters: int = 0) -> jax.Array:
+    """FID = ||mu_a - mu_b||^2 + Tr(Sa + Sb - 2 (Sa Sb)^(1/2)), on device.
+
+    newton_schulz_iters == 0 (default) selects the eigh-based cross term —
+    exact and robust for rank-deficient covariances (small accepted pools);
+    > 0 selects the all-matmul Newton-Schulz path (fastest on the MXU,
+    requires well-conditioned covariances).
+    """
     diff = a.mu - b.mu
-    tr_cross = trace_sqrtm_product(a.sigma, b.sigma, newton_schulz_iters)
+    if newton_schulz_iters > 0:
+        tr_cross = trace_sqrtm_product(a.sigma, b.sigma, newton_schulz_iters)
+    else:
+        tr_cross = trace_sqrtm_product_eigh(a.sigma, b.sigma)
     return (jnp.dot(diff, diff) + jnp.trace(a.sigma) + jnp.trace(b.sigma)
             - 2.0 * tr_cross)
 

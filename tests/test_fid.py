@@ -40,6 +40,35 @@ def test_trace_sqrtm_product_matches_scipy():
     assert got == pytest.approx(want, rel=2e-3)
 
 
+def test_trace_sqrtm_eigh_matches_scipy():
+    from collaborative_gan_sampling_tpu.ops.sqrtm import (
+        trace_sqrtm_product_eigh,
+    )
+    s1 = _random_psd(jax.random.PRNGKey(11), 12)
+    s2 = _random_psd(jax.random.PRNGKey(12), 12, cond=5.0)
+    got = float(trace_sqrtm_product_eigh(jnp.asarray(s1, jnp.float32),
+                                         jnp.asarray(s2, jnp.float32)))
+    want = np.trace(scipy.linalg.sqrtm(s1 @ s2)).real
+    assert got == pytest.approx(want, rel=1e-3)
+
+
+def test_trace_sqrtm_eigh_rank_deficient():
+    """The regime that breaks Newton-Schulz: rank r << n covariances."""
+    from collaborative_gan_sampling_tpu.ops.sqrtm import (
+        trace_sqrtm_product_eigh,
+    )
+    rng = np.random.default_rng(0)
+    x1 = rng.standard_normal((8, 32))  # rank <= 7
+    x2 = rng.standard_normal((10, 32))
+    s1 = np.cov(x1, rowvar=False)
+    s2 = np.cov(x2, rowvar=False)
+    got = float(trace_sqrtm_product_eigh(jnp.asarray(s1, jnp.float32),
+                                         jnp.asarray(s2, jnp.float32)))
+    want = np.trace(scipy.linalg.sqrtm(s1 @ s2)).real
+    assert np.isfinite(got)
+    assert got == pytest.approx(want, rel=0.05, abs=0.5)
+
+
 def test_frechet_closed_form_identical_gaussians():
     s = _random_psd(jax.random.PRNGKey(3), 8)
     st = FIDStats(mu=jnp.zeros(8), sigma=jnp.asarray(s, jnp.float32),
@@ -102,6 +131,8 @@ def test_fid_discriminates_distributions():
     f_real2 = feature_fn(mk(jax.random.fold_in(key, 1), 0.0))
     f_shift = feature_fn(mk(jax.random.fold_in(key, 2), 0.8))
     s1, s2, s3 = map(stats_from_features, (f_real1, f_real2, f_shift))
-    fid_same = float(frechet_distance(s1, s2, 25))
-    fid_diff = float(frechet_distance(s1, s3, 25))
+    # Default (eigh) cross term: the 128-sample, 512-feature stats here are
+    # heavily rank-deficient — exactly what the robust path is for.
+    fid_same = float(frechet_distance(s1, s2))
+    fid_diff = float(frechet_distance(s1, s3))
     assert fid_diff > 10 * max(fid_same, 1e-3)

@@ -1,0 +1,128 @@
+"""Experiment pipeline + CLI integration on tiny configs (CPU-runnable)."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from collaborative_gan_sampling_tpu.cli import main as cli_main
+from collaborative_gan_sampling_tpu.config import (
+    Config,
+    DataConfig,
+    EvalConfig,
+    ModelConfig,
+    RefineConfig,
+    TrainConfig,
+    get_preset,
+)
+from collaborative_gan_sampling_tpu.pipeline import Experiment
+
+
+def _tiny_toy_cfg(workdir, niters=60):
+    return Config(
+        name="toy2d", seed=0, workdir=str(workdir),
+        model=ModelConfig(kind="mlp", z_dim=4, g_hidden=32, d_hidden=32,
+                          compute_dtype="float32"),
+        data=DataConfig(dataset="ring8", mixture_std=0.1),
+        train=TrainConfig(batch_size=64, niters=niters, steps_per_call=20,
+                          d_lr=1e-3, g_lr=1e-3, ckpt_every=20, log_every=20),
+        refine=RefineConfig(steps=3, rate=0.1, num_batches=2, batch_size=64,
+                            burn_in=64, mh_chain_len=5, use_pallas=False),
+        eval=EvalConfig(fid_num_samples=128, fid_batch_size=64),
+    )
+
+
+def _tiny_image_cfg(workdir, niters=4):
+    return Config(
+        name="mnist", seed=0, workdir=str(workdir),
+        model=ModelConfig(kind="dcgan", z_dim=8, image_size=16, channels=1,
+                          g_base_filters=8, d_base_filters=8,
+                          compute_dtype="float32"),
+        data=DataConfig(dataset="mnist"),
+        train=TrainConfig(batch_size=16, niters=niters, steps_per_call=2,
+                          ckpt_every=2, log_every=2),
+        refine=RefineConfig(steps=2, rate=0.05, num_batches=2, batch_size=16,
+                            burn_in=16, use_pallas=False),
+        eval=EvalConfig(fid_num_samples=64, fid_batch_size=16),
+    )
+
+
+def test_experiment_train_writes_metrics_and_ckpts(tmp_path):
+    cfg = _tiny_toy_cfg(tmp_path / "run")
+    exp = Experiment(cfg, echo_metrics=False)
+    state = exp.train()
+    assert int(state.step) == 60
+    assert os.path.exists(cfg.workdir + "/train.jsonl")
+    lines = [json.loads(l) for l in open(cfg.workdir + "/train.jsonl")]
+    assert all("d_loss" in l for l in lines)
+    # checkpoints pruned + restorable
+    st2 = exp.load_state()
+    for a, b in zip(jax.tree_util.tree_leaves(state.g_vars),
+                    jax.tree_util.tree_leaves(st2.g_vars)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_experiment_resume_after_interrupt(tmp_path):
+    """Failure-recovery smoke (SURVEY.md section 5.3): restart from ckpt."""
+    cfg = _tiny_toy_cfg(tmp_path / "run", niters=40)
+    exp = Experiment(cfg, echo_metrics=False)
+    exp.train(niters=20)  # "crash" after 20
+    exp2 = Experiment(cfg, echo_metrics=False)
+    state = exp2.train()  # resumes from 20, finishes to 40
+    assert int(state.step) == 40
+
+
+def test_experiment_benchmark_toy(tmp_path):
+    cfg = _tiny_toy_cfg(tmp_path / "run")
+    exp = Experiment(cfg, echo_metrics=False)
+    state = exp.train()
+    table = exp.benchmark(state, methods=("standard", "refinement"))
+    assert set(table) == {"standard", "refinement"}
+    for row in table.values():
+        assert np.isfinite(row["pct_hq"]) and np.isfinite(row["kl"])
+
+
+def test_experiment_image_stack(tmp_path):
+    """Tiny DCGAN end-to-end: train 4 iters, sample, FID finite."""
+    cfg = _tiny_image_cfg(tmp_path / "imgrun")
+    exp = Experiment(cfg, echo_metrics=False)
+    state = exp.train()
+    res = exp.sample(state, method="refinement")
+    assert res.samples.shape == (32, 16, 16, 1)
+    m = exp.evaluate(res)
+    assert np.isfinite(m["fid"])
+    res_c = exp.sample(state, method="collab")
+    m_c = exp.evaluate(res_c)
+    assert np.isfinite(m_c["fid"])
+
+
+def test_cli_train_and_benchmark(tmp_path, capsys):
+    workdir = str(tmp_path / "cli")
+    rc = cli_main(["train", "--config", "toy2d", "--workdir", workdir,
+                   "train.niters=40", "train.steps_per_call=20",
+                   "train.batch_size=64", "model.g_hidden=32",
+                   "model.d_hidden=32", "model.compute_dtype=float32",
+                   "refine.use_pallas=false"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert json.loads(out)["trained_steps"] == 40
+
+    rc = cli_main(["refine", "--config", "toy2d", "--workdir", workdir,
+                   "--method", "refinement",
+                   "train.niters=40", "train.steps_per_call=20",
+                   "train.batch_size=64", "model.g_hidden=32",
+                   "model.d_hidden=32", "model.compute_dtype=float32",
+                   "refine.use_pallas=false", "refine.num_batches=2",
+                   "refine.batch_size=64", "refine.steps=3"])
+    assert rc == 0
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert row["method"] == "refinement"
+    assert np.isfinite(row["pct_hq"])
+
+
+def test_cli_presets(capsys):
+    assert cli_main(["presets"]) == 0
+    names = json.loads(capsys.readouterr().out.strip())
+    assert "toy2d" in names and "imagenet64" in names
