@@ -47,7 +47,7 @@ def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="cgs")
     parser.add_argument("command",
                         choices=["train", "refine", "collab", "benchmark",
-                                 "eval", "sweep", "presets"])
+                                 "eval", "sweep", "teaser", "presets"])
     parser.add_argument("--config", default="toy2d",
                         help=f"preset: {list_presets()}")
     parser.add_argument("--workdir", default="")
@@ -97,6 +97,12 @@ def main(argv: list[str] | None = None) -> int:
         method = args.method or cfg.refine.method
         res = exp.sample(state, method=method)
         print(json.dumps({"method": method, **exp.evaluate(res)}))
+        return 0
+
+    if args.command == "teaser":
+        # C17: the README-animation figure — samples flowing along dD/dx.
+        out = exp.teaser()
+        print(json.dumps(out))
         return 0
 
     if args.command == "sweep":

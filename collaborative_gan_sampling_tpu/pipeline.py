@@ -206,6 +206,41 @@ class Experiment:
                "feature_net": 0.0}
         return out
 
+    # -- teaser / viz -------------------------------------------------------
+
+    def teaser(self, state: TrainState | None = None,
+               n_points: int = 256) -> dict[str, str]:
+        """C17: refinement-trajectory + overview figures for the 2D stack."""
+        if not self.is_2d:
+            raise ValueError("teaser is a 2D-stack artifact")
+        import dataclasses
+
+        from collaborative_gan_sampling_tpu.sampling.refine import (
+            make_refine_fn,
+        )
+        from collaborative_gan_sampling_tpu.viz import (
+            plot_2d_overview,
+            plot_refinement_trajectories,
+        )
+
+        state = state if state is not None else self.load_or_train()
+        key = step_key(self.base_key, 2, "eval")
+        rcfg = dataclasses.replace(self.cfg.refine, use_pallas=False)
+        refine = jax.jit(make_refine_fn(self.bundle, rcfg,
+                                        return_trajectory=True))
+        z = self.bundle.sample_z(key, n_points)
+        x0 = self.bundle.generate(state.g_vars, z)
+        x_k, aux = refine(state.d_vars, x0)
+        x_real, _ = self.data_fn(jax.random.fold_in(key, 1), n_points * 4)
+        traj_path = plot_refinement_trajectories(
+            os.path.join(self.workdir, "teaser_trajectories.png"),
+            aux["traj"], self.spec)
+        overview_path = plot_2d_overview(
+            os.path.join(self.workdir, "overview.png"), self.bundle,
+            state.d_vars, self.spec, x_real, x0, x_k,
+            title=f"{self.cfg.name} @ step {int(state.step)}")
+        return {"trajectories": traj_path, "overview": overview_path}
+
     # -- benchmark matrix ---------------------------------------------------
 
     def benchmark(self, state: TrainState,

@@ -88,10 +88,14 @@ def plot_2d_overview(path: str, bundle, d_vars, spec: MixtureSpec,
 
     ax = axes[2]
     skip = 2
-    ax.quiver(xx[::skip, ::skip], yy[::skip, ::skip],
-              vec[::skip, ::skip, 0], vec[::skip, ::skip, 1],
-              np.hypot(vec[::skip, ::skip, 0], vec[::skip, ::skip, 1]),
-              cmap="viridis", angles="xy")
+    u, v = vec[::skip, ::skip, 0], vec[::skip, ::skip, 1]
+    mag = np.hypot(u, v)
+    # Direction field colored by magnitude; cap arrow length at the 90th
+    # percentile so a few huge gradients don't drown the field.
+    cap = np.percentile(mag, 90) + 1e-12
+    scale = np.minimum(mag, cap) / (mag + 1e-12)
+    ax.quiver(xx[::skip, ::skip], yy[::skip, ::skip], u * scale, v * scale,
+              mag, cmap="viridis", angles="xy")
     ax.scatter(np.asarray(spec.means)[:, 0], np.asarray(spec.means)[:, 1],
                marker="*", s=120, color="r")
     ax.set_title("refinement field  -dl/dx")
