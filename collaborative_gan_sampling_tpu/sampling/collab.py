@@ -191,7 +191,8 @@ def _sample_reject(bundle, g_vars, d_vars, cfg, key, data_fn, mesh,
             else:
                 logits = bundle.discriminate(d_vars, x, labels, train=False)
             acc = drs_accept_mask(k_acc, logits, m, cfg.gamma, cfg.eps_drs,
-                                  cfg.gamma_percentile)
+                                  cfg.gamma_percentile,
+                                  use_pallas=cfg.use_pallas)
             return (x, logits, acc,
                     labels if labels is not None else jnp.zeros((), jnp.int32))
 
@@ -301,7 +302,8 @@ def _sample_collab(bundle, g_vars, d_vars, cfg, key, data_fn, mesh):
             m = 0.7 * m + 0.3 * jnp.max(logits)
             acc = drs_accept_mask(k_acc, logits, jnp.maximum(m, jnp.max(logits)),
                                   cfg.gamma, cfg.eps_drs,
-                                  cfg.gamma_percentile)
+                                  cfg.gamma_percentile,
+                                  use_pallas=cfg.use_pallas)
 
             if cfg.shape_every > 0:
                 def do_shape(st):

@@ -53,8 +53,25 @@ def drs_acceptance_prob(logits: jax.Array, logit_max: jax.Array,
 
 def drs_accept_mask(key: jax.Array, logits: jax.Array, logit_max: jax.Array,
                     gamma: float = 0.0, eps: float = 1e-6,
-                    gamma_percentile: float = 0.0) -> jax.Array:
-    """Boolean accept mask, same shape as logits."""
+                    gamma_percentile: float = 0.0,
+                    use_pallas: bool = False) -> jax.Array:
+    """Boolean accept mask, same shape as logits.
+
+    With use_pallas on a TPU backend, the shift+sigmoid+RNG+compare runs as
+    one fused Pallas VPU kernel with in-kernel hardware PRNG
+    (ops/accept_pallas.py); statistically equivalent, different RNG stream.
+    """
+    if use_pallas and logits.ndim == 1 and jax.default_backend() == "tpu":
+        from collaborative_gan_sampling_tpu.ops.accept_pallas import (
+            drs_accept_mask_pallas,
+        )
+        g = jnp.float32(gamma)
+        if gamma_percentile > 0:
+            shifted = drs_logit_shift(logits, logit_max, 0.0, eps)
+            g = g + jnp.percentile(shifted, gamma_percentile)
+        return drs_accept_mask_pallas(key, logits,
+                                      jnp.asarray(logit_max, jnp.float32),
+                                      g, eps)
     p = drs_acceptance_prob(logits, logit_max, gamma, eps, gamma_percentile)
     u = jax.random.uniform(key, logits.shape)
     return u < p
