@@ -47,7 +47,8 @@ def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="cgs")
     parser.add_argument("command",
                         choices=["train", "refine", "collab", "benchmark",
-                                 "eval", "sweep", "teaser", "presets"])
+                                 "eval", "sweep", "teaser", "profile",
+                                 "presets"])
     parser.add_argument("--config", default="toy2d",
                         help=f"preset: {list_presets()}")
     parser.add_argument("--workdir", default="")
@@ -97,6 +98,11 @@ def main(argv: list[str] | None = None) -> int:
         method = args.method or cfg.refine.method
         res = exp.sample(state, method=method)
         print(json.dumps({"method": method, **exp.evaluate(res)}))
+        return 0
+
+    if args.command == "profile":
+        logdir = exp.profile(state)
+        print(json.dumps({"trace_dir": logdir}))
         return 0
 
     if args.command == "teaser":

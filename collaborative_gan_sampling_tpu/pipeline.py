@@ -99,12 +99,16 @@ class Experiment:
         spc = cfg.train.steps_per_call
         writer = MetricsWriter(os.path.join(self.workdir, "train.jsonl"),
                                echo=self._echo)
+        import time as _time
         try:
             while int(state.step) < niters:
+                t0 = _time.perf_counter()
                 state, metrics = chunk(state)
-                step = int(state.step)
+                step = int(state.step)  # host sync: chunk fully materialized
+                iters_per_s = spc / (_time.perf_counter() - t0)
                 if step % max(spc, cfg.train.log_every) < spc or step >= niters:
-                    writer.write(step, phase="train", **metrics)
+                    writer.write(step, phase="train",
+                                 iters_per_s=round(iters_per_s, 2), **metrics)
                 if cfg.train.ckpt_every and (
                         step % cfg.train.ckpt_every < spc or step >= niters):
                     save_checkpoint(self.ckpt_dir, step, state)
@@ -201,10 +205,34 @@ class Experiment:
     def evaluate(self, result: SampleResult) -> dict[str, float]:
         if self.is_2d:
             return self.evaluate_2d(result)
-        out = {"fid": self.fid_of_samples(result.samples, result.accepted),
-               "accept_rate": result.accept_rate,
-               "feature_net": 0.0}
-        return out
+        self._feature_fn()  # ensure label exists
+        return {"fid": self.fid_of_samples(result.samples, result.accepted),
+                "accept_rate": result.accept_rate,
+                "feature_net": self._feature_label}
+
+    # -- profiling ----------------------------------------------------------
+
+    def profile(self, state: TrainState | None = None,
+                chunks: int = 3) -> str:
+        """Capture a jax.profiler trace of train chunks + one refinement run
+        (SURVEY.md section 5.1); view with TensorBoard/XProf."""
+        from collaborative_gan_sampling_tpu.utils.profiling import trace
+
+        state = state if state is not None else self.load_or_train()
+        chunk = make_train_chunk(self.bundle, self.cfg.train, self.data_fn,
+                                 self.base_key, mesh=self.mesh)
+        state, m = chunk(state)  # compile outside the trace
+        jax.block_until_ready(m)
+        logdir = os.path.join(self.workdir, "trace")
+        with trace(logdir):
+            for _ in range(chunks):
+                with jax.profiler.StepTraceAnnotation("train_chunk"):
+                    state, m = chunk(state)
+            jax.block_until_ready(m)
+            with jax.profiler.StepTraceAnnotation("refinement"):
+                res = self.sample(state, method="refinement")
+            jax.block_until_ready(res.samples)
+        return logdir
 
     # -- teaser / viz -------------------------------------------------------
 

@@ -27,6 +27,7 @@ equivalents). No pmap, no hand-written collectives.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable
 
 import jax
@@ -183,7 +184,10 @@ def make_train_chunk(bundle: GANBundle, cfg: TrainConfig, data_fn: DataFn,
         state = state.replace(step=state.step + 1)
         return state, metrics
 
-    @jax.jit
+    # Donating the state lets XLA update params/opt-state in place (no
+    # copy of the full model state per chunk). Callers use the returned
+    # state and never touch the donated input again (linear state threading).
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def chunk(state: TrainState):
         state, ms = jax.lax.scan(train_step, state, None, length=n_steps)
         return state, jax.tree.map(lambda a: a.mean(0), ms)
