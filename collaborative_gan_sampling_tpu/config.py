@@ -104,6 +104,9 @@ class RefineConfig:
     steps: int = 10  # K, the reference's "rollout steps"
     rate: float = 0.1  # lambda, the reference's "rollout rate"
     clip_norm: float = 0.0  # 0 = no per-sample gradient clipping
+    noise: float = 0.0  # Langevin noise scale: x += sqrt(2*rate*noise)*N(0,I)
+    # per step (DGflow-style stochastic refinement, arXiv:2012.00780); 0 =
+    # deterministic gradient refinement (the reference's scheme)
     use_pallas: bool = True  # fused Pallas fast-path where supported
     # DRS rejection (C5):
     gamma: float = 0.0  # static acceptance shift; <0 accepts more

@@ -148,7 +148,7 @@ def _sample_refinement(bundle, g_vars, d_vars, cfg, key, data_fn, mesh):
     def run(g_vars, d_vars, key):
         def body(k, i):
             x0, labels = _draw(bundle, g_vars, k, cfg.batch_size, mesh)
-            x, aux = refine(d_vars, x0, labels)
+            x, aux = refine(d_vars, x0, labels, key=jax.random.fold_in(k, 1))
             return (x, aux["logits"],
                     labels if labels is not None else jnp.zeros((), jnp.int32))
         return _scan_batches(body, key, cfg.num_batches)
@@ -176,7 +176,7 @@ def _sample_reject(bundle, g_vars, d_vars, cfg, key, data_fn, mesh,
         def burn_sample(k, n):
             x, labels = _draw(bundle, g_vars, k, n, mesh)
             if refine is not None:
-                x, _ = refine(d_vars, x, labels)
+                x, _ = refine(d_vars, x, labels, key=jax.random.fold_in(k, 1))
             return x, labels
 
         m = estimate_logit_max(bundle, d_vars, burn_sample, k_burn,
@@ -186,7 +186,7 @@ def _sample_reject(bundle, g_vars, d_vars, cfg, key, data_fn, mesh,
             k_draw, k_acc = jax.random.split(k)
             x, labels = _draw(bundle, g_vars, k_draw, cfg.batch_size, mesh)
             if refine is not None:
-                x, aux = refine(d_vars, x, labels)
+                x, aux = refine(d_vars, x, labels, key=jax.random.fold_in(k_draw, 1))
                 logits = aux["logits"]
             else:
                 logits = bundle.discriminate(d_vars, x, labels, train=False)
@@ -281,7 +281,7 @@ def _sample_collab(bundle, g_vars, d_vars, cfg, key, data_fn, mesh):
 
         def burn_sample(k, n):
             x, labels = _draw(bundle, g_vars, k, n, mesh)
-            x, _ = refine(shaping_state0.d_vars, x, labels)
+            x, _ = refine(shaping_state0.d_vars, x, labels, key=jax.random.fold_in(k, 1))
             return x, labels
 
         m0 = estimate_logit_max(bundle, shaping_state0.d_vars, burn_sample,
@@ -293,7 +293,7 @@ def _sample_collab(bundle, g_vars, d_vars, cfg, key, data_fn, mesh):
             k_draw, k_acc, k_real, k_shape = jax.random.split(k, 4)
 
             x0, labels = _draw(bundle, g_vars, k_draw, cfg.batch_size, mesh)
-            x, aux = refine(shaping_state.d_vars, x0, labels)
+            x, aux = refine(shaping_state.d_vars, x0, labels, key=jax.random.fold_in(k_draw, 1))
             logits = aux["logits"]
             # D's logit scale drifts while it is being shaped, so a running
             # max over all rounds goes stale (it only grows) and acceptance

@@ -54,12 +54,15 @@ def make_refine_fn(bundle: GANBundle, cfg: RefineConfig,
     Pure and jittable; call inside your own jit/scan (collab.py does).
     """
     steps, rate, clip_norm = cfg.steps, cfg.rate, cfg.clip_norm
+    noise = getattr(cfg, "noise", 0.0)
 
     def refine(d_vars: Any, x0: jax.Array,
-               labels: jax.Array | None = None):
+               labels: jax.Array | None = None,
+               key: jax.Array | None = None):
         # Fused Pallas fast path (MLP D, unconditional, no clipping, no
-        # trajectory): the whole K-step loop in one kernel, x VMEM-resident.
-        if not return_trajectory:
+        # noise, no trajectory): whole K-step loop in one kernel,
+        # x VMEM-resident.
+        if not return_trajectory and noise == 0.0:
             from collaborative_gan_sampling_tpu.ops.refine_pallas import (
                 fused_refine_mlp,
                 supports_pallas_refine,
@@ -67,24 +70,34 @@ def make_refine_fn(bundle: GANBundle, cfg: RefineConfig,
             if supports_pallas_refine(bundle, cfg, labels):
                 x_k, logits = fused_refine_mlp(d_vars, x0, steps, rate)
                 return x_k, {"logits": logits}
-        return _refine_scan(d_vars, x0, labels)
+        return _refine_scan(d_vars, x0, labels, key)
 
     def _refine_scan(d_vars: Any, x0: jax.Array,
-                     labels: jax.Array | None = None):
+                     labels: jax.Array | None = None,
+                     key: jax.Array | None = None):
         def loss_sum(x):
             logits = bundle.discriminate(d_vars, x, labels, train=False)
             return jnp.sum(refine_loss_per_sample(logits))
 
         grad_fn = jax.grad(loss_sum)
+        if noise > 0 and key is None:
+            # Deterministic fallback seed from x0 would break independence;
+            # derive from a fixed key — callers wanting proper streams pass
+            # their own (collab.py does via the round key).
+            key = jax.random.PRNGKey(0)
 
-        def step(x, _):
+        def step(x, k):
             g = grad_fn(x)
             if clip_norm > 0:
                 g = _clip_per_sample(g, clip_norm)
             x_new = x - rate * g
+            if noise > 0:
+                x_new = x_new + jnp.sqrt(2.0 * rate * noise) * \
+                    jax.random.normal(k, x.shape, dtype=x.dtype)
             return x_new, (x_new if return_trajectory else None)
 
-        x_k, traj = jax.lax.scan(step, x0, None, length=steps)
+        xs = (jax.random.split(key, steps) if noise > 0 else None)
+        x_k, traj = jax.lax.scan(step, x0, xs, length=steps)
         logits = bundle.discriminate(d_vars, x_k, labels, train=False)
         aux = {"logits": logits}
         if return_trajectory:
