@@ -176,41 +176,85 @@ def _load_image_folder(root: str, crop: int, size: int,
 
 
 def procedural_images(name: str, n: int, size: int, channels: int,
-                      num_classes: int, seed: int = 0) -> tuple[jax.Array, jax.Array]:
-    """Deterministic class-conditional 'blob' images, built on device.
+                      num_classes: int, seed: int = 0,
+                      chunk: int = 4096) -> tuple[jax.Array, jax.Array]:
+    """Deterministic class-conditional structured images, built on device.
 
-    Each class places a Gaussian bump at a class-specific position with
-    class-specific hue; per-sample jitter + noise give the distribution
-    variance so FID between disjoint real subsets is small but nonzero.
-    Exists so the full train/refine/shape/FID pipeline runs offline.
+    A genuinely non-trivial distribution (a near-perfect GAN fit would make
+    refinement/rejection vacuously flat): each image composes
+      * a smooth background gradient with random direction/amplitude,
+      * a rotated anisotropic Gaussian 'body' anchored at a class-dependent
+        ring position (angle jitter, per-sample scale/orientation/aspect),
+      * a ring (annulus) 'satellite' whose radius and position vary,
+      * per-channel hue mixing keyed to the class, and pixel noise.
+    The long-tailed pose/scale variation is what DCGANs of this size
+    struggle to cover — leaving visible headroom for discriminator-guided
+    refinement. Deterministic per (name, seed); built in chunks on device.
     """
     classes = max(num_classes, 1)
-    key = jax.random.fold_in(jax.random.PRNGKey(seed), abs(hash(name)) % (2**31))
-    k_lab, k_jit, k_amp, k_noise = jax.random.split(key, 4)
-    labels = jax.random.randint(k_lab, (n,), 0, classes)
-    angle = labels.astype(jnp.float32) / classes * (2 * jnp.pi)
-    cx = size / 2 + size / 4 * jnp.cos(angle)
-    cy = size / 2 + size / 4 * jnp.sin(angle)
-    jitter = jax.random.normal(k_jit, (n, 2)) * (size / 16)
-    cx, cy = cx + jitter[:, 0], cy + jitter[:, 1]
-    amp = 0.7 + 0.3 * jax.random.uniform(k_amp, (n, 1, 1))
+    base = jax.random.fold_in(jax.random.PRNGKey(seed),
+                              abs(hash(name)) % (2 ** 31))
 
     yy = jnp.arange(size, dtype=jnp.float32)[None, :, None]
     xx = jnp.arange(size, dtype=jnp.float32)[None, None, :]
-    sigma = size / 6.0
-    bump = amp * jnp.exp(-((xx - cx[:, None, None]) ** 2 +
-                           (yy - cy[:, None, None]) ** 2) / (2 * sigma ** 2))
-    if channels == 1:
-        img = bump[..., None]
-    else:
-        hue = (labels.astype(jnp.float32) + 1.0) / classes  # (n,)
-        scale = jnp.stack(
-            [0.5 + 0.5 * jnp.cos(2 * jnp.pi * (hue + c / 3.0))
-             for c in range(channels)], axis=-1)  # (n, channels)
-        img = bump[..., None] * scale[:, None, None, :]
-    img = img + 0.05 * jax.random.normal(k_noise, img.shape)
-    u8 = jnp.clip(jnp.round(img * 255), 0, 255).astype(jnp.uint8)
-    return u8, labels.astype(jnp.int32)
+
+    @jax.jit
+    def build(key, labels):
+        m = labels.shape[0]
+        ks = jax.random.split(key, 12)
+        f = jnp.float32
+
+        # Background: low-amplitude linear gradient, random direction.
+        bg_theta = jax.random.uniform(ks[0], (m, 1, 1)) * (2 * jnp.pi)
+        bg_amp = 0.15 * jax.random.uniform(ks[1], (m, 1, 1))
+        bg = bg_amp * ((xx - size / 2) * jnp.cos(bg_theta)
+                       + (yy - size / 2) * jnp.sin(bg_theta)) / size + 0.2
+
+        # Body: rotated anisotropic Gaussian at a class-anchored position.
+        angle0 = labels.astype(f) / classes * (2 * jnp.pi)
+        ang = (angle0 + 0.35 * jax.random.normal(ks[2], (m,)))[:, None, None]
+        r0 = size * (0.22 + 0.08 * jax.random.uniform(ks[3], (m,)))[:, None, None]
+        cx = size / 2 + r0 * jnp.cos(ang)
+        cy = size / 2 + r0 * jnp.sin(ang)
+        # log-uniform scale (long tail) + aspect + orientation
+        sc = size / 8 * jnp.exp(0.5 * jax.random.normal(ks[4], (m, 1, 1)))
+        aspect = jnp.exp(0.6 * jax.random.normal(ks[5], (m, 1, 1)))
+        rot = jax.random.uniform(ks[6], (m, 1, 1)) * jnp.pi
+        dx, dy = xx - cx, yy - cy
+        u = dx * jnp.cos(rot) + dy * jnp.sin(rot)
+        v = -dx * jnp.sin(rot) + dy * jnp.cos(rot)
+        body = 0.9 * jnp.exp(-(u ** 2 * aspect + v ** 2 / aspect)
+                             / (2 * sc ** 2))
+
+        # Satellite ring on the opposite side; radius/thickness vary.
+        cx2 = size / 2 - (r0 * 0.8) * jnp.cos(ang)
+        cy2 = size / 2 - (r0 * 0.8) * jnp.sin(ang)
+        rad = size * (0.06 + 0.06 * jax.random.uniform(ks[7], (m, 1, 1)))
+        thick = size * 0.02 * (1 + jax.random.uniform(ks[8], (m, 1, 1)))
+        d2 = jnp.sqrt((xx - cx2) ** 2 + (yy - cy2) ** 2)
+        ring = 0.8 * jnp.exp(-((d2 - rad) ** 2) / (2 * thick ** 2))
+
+        lum = jnp.clip(bg + body + ring, 0.0, 1.5)
+        if channels == 1:
+            img = lum[..., None]
+        else:
+            hue = ((labels.astype(f) + 1.0) / classes
+                   + 0.1 * jax.random.normal(ks[9], (m,)))[:, None, None]
+            mix = jnp.stack(
+                [0.55 + 0.45 * jnp.cos(2 * jnp.pi * (hue + c / 3.0))
+                 for c in range(channels)], axis=-1)
+            img = lum[..., None] * mix
+        img = img + 0.04 * jax.random.normal(ks[10], img.shape)
+        return jnp.clip(jnp.round(img * 170), 0, 255).astype(jnp.uint8)
+
+    labels_all = jax.random.randint(jax.random.fold_in(base, 0), (n,), 0,
+                                    classes)
+    parts = []
+    for start in range(0, n, chunk):
+        m = min(chunk, n - start)
+        parts.append(build(jax.random.fold_in(base, 1 + start // chunk),
+                           labels_all[start:start + m]))
+    return jnp.concatenate(parts), labels_all.astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
