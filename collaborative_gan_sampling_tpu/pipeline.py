@@ -138,11 +138,54 @@ class Experiment:
     # -- sampling -----------------------------------------------------------
 
     def sample(self, state: TrainState, method: str | None = None,
-               key: jax.Array | None = None) -> SampleResult:
+               key: jax.Array | None = None,
+               use_shaped_d: bool = False) -> SampleResult:
+        """Run a sampling strategy. With use_shaped_d, refinement runs under
+        a previously-saved shaped discriminator (save_shaped_d) — the
+        'train once, shape once, refine many times' path."""
         key = key if key is not None else step_key(self.base_key, 0, "eval")
-        return sample(self.bundle, state.g_vars, state.d_vars,
+        d_vars = state.d_vars
+        if use_shaped_d:
+            d_vars = self.load_shaped_d(template=state.d_vars)
+        return sample(self.bundle, state.g_vars, d_vars,
                       self.cfg.refine, key, method=method,
                       data_fn=self.data_fn, mesh=self.mesh)
+
+    # -- shaped-D persistence (C11 + C15) -----------------------------------
+
+    def _shaped_d_path(self) -> str:
+        return os.path.join(self.workdir, "shaped_d.msgpack")
+
+    def save_shaped_d(self, result: SampleResult) -> str:
+        """Persist the shaped discriminator a collab run produced, so later
+        refinement/rejection runs reuse it without re-shaping."""
+        from flax import serialization
+
+        shaped = result.aux.get("shaped_d_vars")
+        if shaped is None:
+            raise ValueError("result has no shaped_d_vars "
+                             "(only collab sampling shapes D)")
+        path = self._shaped_d_path()
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        blob = serialization.msgpack_serialize(
+            serialization.to_state_dict(jax.device_get(shaped)))
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(blob)
+        os.replace(tmp, path)
+        return path
+
+    def load_shaped_d(self, template: Any):
+        from flax import serialization
+
+        path = self._shaped_d_path()
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"no shaped discriminator at {path}; run collab sampling "
+                "and save_shaped_d first")
+        with open(path, "rb") as fh:
+            raw = serialization.msgpack_restore(fh.read())
+        return serialization.from_state_dict(dict(template), raw)
 
     # -- evaluation ---------------------------------------------------------
 

@@ -122,6 +122,34 @@ def test_cli_train_and_benchmark(tmp_path, capsys):
     assert np.isfinite(row["pct_hq"])
 
 
+def test_shaped_d_roundtrip(tmp_path):
+    """Collab shapes D -> persist -> later refinement uses the shaped D."""
+    cfg = _tiny_toy_cfg(tmp_path / "run")
+    exp = Experiment(cfg, echo_metrics=False)
+    state = exp.train()
+    res = exp.sample(state, method="collab")
+    path = exp.save_shaped_d(res)
+    assert os.path.exists(path)
+    loaded = exp.load_shaped_d(template=state.d_vars)
+    for a, b in zip(jax.tree_util.tree_leaves(res.aux["shaped_d_vars"]),
+                    jax.tree_util.tree_leaves(loaded)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # Refinement under the shaped D runs and differs from the unshaped run.
+    r_shaped = exp.sample(state, method="refinement", use_shaped_d=True)
+    r_plain = exp.sample(state, method="refinement")
+    assert not np.allclose(np.asarray(r_shaped.samples),
+                           np.asarray(r_plain.samples))
+
+
+def test_save_shaped_d_rejects_unshaped_result(tmp_path):
+    cfg = _tiny_toy_cfg(tmp_path / "run")
+    exp = Experiment(cfg, echo_metrics=False)
+    state = exp.train()
+    res = exp.sample(state, method="standard")
+    with pytest.raises(ValueError):
+        exp.save_shaped_d(res)
+
+
 def test_cli_presets(capsys):
     assert cli_main(["presets"]) == 0
     names = json.loads(capsys.readouterr().out.strip())
