@@ -133,6 +133,7 @@ class EvalConfig:
     fid_num_samples: int = 10000
     fid_batch_size: int = 256
     feature_net: str = "auto"  # 'auto' | 'random_conv' | path to inception params
+    feature_train_steps: int = 1500  # classifier-feature training budget
     # 0 = robust eigh cross term (default); >0 = Newton-Schulz with that
     # many iterations (all-matmul MXU path, needs well-conditioned stats).
     newton_schulz_iters: int = 0

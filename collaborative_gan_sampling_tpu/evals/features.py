@@ -60,10 +60,86 @@ class RandomConvFeatures(nn.Module):
         return h.astype(jnp.float32)
 
 
+class SmallClassifier(nn.Module):
+    """Compact conv classifier whose penultimate layer is the FID feature.
+
+    The SURVEY.md section 7 stage-4 'documented substitute' for Inception
+    when weights are unobtainable offline: a classifier *trained on the
+    target dataset's labels* yields features far more discriminative than
+    random projections (the FID noise floor shrinks accordingly). 256-d
+    features keep finite-sample covariances well-conditioned.
+    """
+
+    num_classes: int = 10
+    feature_dim: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, return_features: bool = False):
+        h = x.astype(self.dtype)
+        for i, ch in enumerate((32, 64, 128)):
+            stride = 2 if min(h.shape[1], h.shape[2]) >= 2 else 1
+            h = nn.Conv(ch, (3, 3), strides=(stride, stride), padding="SAME",
+                        dtype=self.dtype, name=f"conv{i}")(h)
+            h = nn.relu(h)
+        h = jnp.mean(h, axis=(1, 2))
+        feats = nn.relu(nn.Dense(self.feature_dim, dtype=self.dtype,
+                                 name="feat")(h))
+        if return_features:
+            return feats.astype(jnp.float32)
+        return nn.Dense(self.num_classes, dtype=self.dtype,
+                        name="logits")(feats).astype(jnp.float32)
+
+
+def train_classifier_features(data_fn, num_classes: int,
+                              image_shape: tuple[int, int, int],
+                              steps: int = 1500, batch: int = 256,
+                              lr: float = 1e-3,
+                              seed: int = 0) -> tuple[FeatureFn, dict]:
+    """Train SmallClassifier on `data_fn(key, n) -> (x, labels)`; return the
+    penultimate-feature fn + params. One jitted lax.scan — seconds on TPU."""
+    import optax
+
+    module = SmallClassifier(num_classes=num_classes)
+    key = jax.random.PRNGKey(seed)
+    params = module.init(jax.random.fold_in(key, 0),
+                         jnp.zeros((1, *image_shape), jnp.float32))
+    tx = optax.adam(lr)
+
+    @jax.jit
+    def fit(params):
+        opt = tx.init(params)
+
+        def step(carry, i):
+            params, opt = carry
+            x, y = data_fn(jax.random.fold_in(key, 1 + i), batch)
+
+            def loss_fn(p):
+                logits = module.apply(p, x)
+                return optax.softmax_cross_entropy_with_integer_labels(
+                    logits, y).mean()
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt = tx.update(grads, opt, params)
+            return (optax.apply_updates(params, updates), opt), loss
+
+        (params, _), losses = jax.lax.scan(step, (params, opt),
+                                           jnp.arange(steps))
+        return params, losses[-1]
+
+    params, final_loss = fit(params)
+
+    def feature_fn(x: jax.Array) -> jax.Array:
+        return module.apply(params, x, return_features=True)
+
+    return feature_fn, {"params": params, "final_loss": final_loss}
+
+
 def make_feature_fn(spec: str, image_shape: tuple[int, int, int],
                     seed: int = 0) -> tuple[FeatureFn, str]:
     """Build (feature_fn, label). `spec`: 'auto' | 'random_conv' |
-    'inception:<path>'."""
+    'inception:<path>'. ('auto' with labelled data is upgraded to a trained
+    classifier by the pipeline — see pipeline.Experiment._feature_fn.)"""
     if spec in ("auto", "random_conv"):
         module = RandomConvFeatures()
         params = module.init(jax.random.PRNGKey(seed),

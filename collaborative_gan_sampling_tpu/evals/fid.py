@@ -48,13 +48,6 @@ def stats_from_features(feats: jax.Array) -> FIDStats:
     return FIDStats(mu=mu, sigma=sigma, n=jnp.float32(n))
 
 
-def _merge_moment_sums(s: jax.Array, ss: jax.Array, n: float) -> FIDStats:
-    """(sum x, sum x x^T, n) -> unbiased (mu, Sigma)."""
-    mu = s / n
-    sigma = (ss - n * jnp.outer(mu, mu)) / (n - 1)
-    return FIDStats(mu=mu, sigma=sigma, n=jnp.float32(n))
-
-
 def streaming_stats(feature_fn: Callable, batch_fn: Callable,
                     num_batches: int, batch_size: int,
                     key: jax.Array) -> FIDStats:
@@ -63,19 +56,33 @@ def streaming_stats(feature_fn: Callable, batch_fn: Callable,
     `batch_fn(key, n) -> x` produces images in [-1, 1]; `feature_fn(x) ->
     (n, F)`. The whole loop is one jitted scan: O(F^2) accumulator state,
     never materialises the (N, F) feature matrix.
+
+    Numerics: uses Chan's parallel mean/covariance merge (per-batch centered
+    scatter + mean-delta correction), NOT the one-pass sum/sum-of-squares
+    formula — that one catastrophically cancels in float32 for features with
+    large means (e.g. relu classifier features), inflating the FID noise
+    floor by orders of magnitude.
     """
     feat_dim = feature_fn(batch_fn(key, 1)).shape[-1]
 
     def body(carry, i):
-        s, ss = carry
+        n_a, mu_a, m2_a = carry
         x = batch_fn(jax.random.fold_in(key, i), batch_size)
         f = feature_fn(x)
-        return (s + jnp.sum(f, axis=0), ss + f.T @ f), None
+        n_b = jnp.float32(f.shape[0])
+        mu_b = jnp.mean(f, axis=0)
+        fc = f - mu_b
+        m2_b = fc.T @ fc  # centered scatter of this batch (stable)
+        delta = mu_b - mu_a
+        n = n_a + n_b
+        mu = mu_a + delta * (n_b / n)
+        m2 = m2_a + m2_b + jnp.outer(delta, delta) * (n_a * n_b / n)
+        return (n, mu, m2), None
 
-    init = (jnp.zeros((feat_dim,), jnp.float32),
+    init = (jnp.float32(0.0), jnp.zeros((feat_dim,), jnp.float32),
             jnp.zeros((feat_dim, feat_dim), jnp.float32))
-    (s, ss), _ = jax.lax.scan(body, init, jnp.arange(num_batches))
-    return _merge_moment_sums(s, ss, num_batches * batch_size)
+    (n, mu, m2), _ = jax.lax.scan(body, init, jnp.arange(num_batches))
+    return FIDStats(mu=mu, sigma=m2 / (n - 1.0), n=n)
 
 
 def frechet_distance(a: FIDStats, b: FIDStats,
@@ -94,6 +101,38 @@ def frechet_distance(a: FIDStats, b: FIDStats,
         tr_cross = trace_sqrtm_product_eigh(a.sigma, b.sigma)
     return (jnp.dot(diff, diff) + jnp.trace(a.sigma) + jnp.trace(b.sigma)
             - 2.0 * tr_cross)
+
+
+def frechet_distance_host(a: FIDStats, b: FIDStats) -> float:
+    """Float64 host-side Frechet distance (numpy eigh).
+
+    The on-device float32 path cannot resolve FID values that are ~1e-5 of
+    the covariance trace (classifier features easily reach that regime —
+    the f32 eigenvalue error floor exceeds the statistic). mu/Sigma are a
+    few hundred KB, evaluation is not a hot loop, and f64 on host is exact
+    to ~1e-12, so the *final distance* defaults to this path
+    (pipeline.Experiment). The device implementation remains for in-graph
+    uses (e.g. FID-as-objective, arXiv:2009.14075-style backprop, where the
+    gradient only needs f32).
+    """
+    import numpy as np
+
+    mu_a = np.asarray(jax.device_get(a.mu), np.float64)
+    mu_b = np.asarray(jax.device_get(b.mu), np.float64)
+    s_a = np.asarray(jax.device_get(a.sigma), np.float64)
+    s_b = np.asarray(jax.device_get(b.sigma), np.float64)
+
+    def psd_sqrt(s):
+        s = 0.5 * (s + s.T)
+        d, u = np.linalg.eigh(s)
+        return (u * np.sqrt(np.maximum(d, 0.0))) @ u.T
+
+    asq = psd_sqrt(s_a)
+    m = asq @ s_b @ asq
+    ev = np.linalg.eigvalsh(0.5 * (m + m.T))
+    tr_cross = np.sum(np.sqrt(np.maximum(ev, 0.0)))
+    diff = mu_a - mu_b
+    return float(diff @ diff + np.trace(s_a) + np.trace(s_b) - 2 * tr_cross)
 
 
 def fid_between(feature_fn: Callable, real_fn: Callable, fake_fn: Callable,

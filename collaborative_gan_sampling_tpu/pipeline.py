@@ -28,10 +28,7 @@ from collaborative_gan_sampling_tpu.data import (
 )
 from collaborative_gan_sampling_tpu.evals import metrics_2d
 from collaborative_gan_sampling_tpu.evals.features import make_feature_fn
-from collaborative_gan_sampling_tpu.evals.fid import (
-    frechet_distance,
-    streaming_stats,
-)
+from collaborative_gan_sampling_tpu.evals.fid import streaming_stats
 from collaborative_gan_sampling_tpu.models import GANBundle, make_bundle
 from collaborative_gan_sampling_tpu.parallel.mesh import make_mesh, replicate
 from collaborative_gan_sampling_tpu.sampling import METHODS, SampleResult, sample
@@ -199,9 +196,29 @@ class Experiment:
 
     def _feature_fn(self):
         if not hasattr(self, "_cached_feature_fn"):
-            self._cached_feature_fn, self._feature_label = make_feature_fn(
-                self.cfg.eval.feature_net, self.bundle.data_shape,
-                seed=self.cfg.seed)
+            spec = self.cfg.eval.feature_net
+            labels = getattr(getattr(self, "dataset", None), "labels", None)
+            if spec == "auto" and not self.is_2d and labels is not None:
+                # Labelled image data: train a small classifier and use its
+                # penultimate features — far more discriminative than random
+                # projections (lower FID noise floor). Seconds on TPU.
+                from collaborative_gan_sampling_tpu.evals.features import (
+                    train_classifier_features,
+                )
+                num_classes = int(jax.device_get(labels.max())) + 1
+
+                def labelled_fn(key, n):
+                    return self.dataset.batch(key, n)
+
+                self._cached_feature_fn, _ = train_classifier_features(
+                    labelled_fn, num_classes, self.bundle.data_shape,
+                    steps=self.cfg.eval.feature_train_steps,
+                    seed=self.cfg.seed)
+                self._feature_label = "trained_classifier"
+            else:
+                self._cached_feature_fn, self._feature_label = \
+                    make_feature_fn(spec, self.bundle.data_shape,
+                                    seed=self.cfg.seed)
         return self._cached_feature_fn
 
     def real_stats(self, key: jax.Array | None = None):
@@ -242,8 +259,12 @@ class Experiment:
         feats = jax.lax.map(feature_fn,
                             samples[:n].reshape(-1, bs, *samples.shape[1:]))
         stats = stats_from_features(feats.reshape(-1, feats.shape[-1]))
-        return float(frechet_distance(stats, self.real_stats(),
-                                      self.cfg.eval.newton_schulz_iters))
+        # Final distance in f64 on host: f32 eigh cannot resolve FIDs that
+        # are ~1e-5 of the covariance trace (see frechet_distance_host).
+        from collaborative_gan_sampling_tpu.evals.fid import (
+            frechet_distance_host,
+        )
+        return frechet_distance_host(stats, self.real_stats())
 
     def evaluate(self, result: SampleResult) -> dict[str, float]:
         if self.is_2d:

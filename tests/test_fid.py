@@ -117,6 +117,71 @@ def test_streaming_stats_match_direct():
                                np.asarray(direct.sigma), atol=0.4)
 
 
+def test_streaming_stats_stable_with_large_means():
+    """The one-pass sum/sum-sq formula cancels catastrophically in f32 when
+    feature means are large (relu classifier features); the Chan-merge
+    implementation must stay accurate."""
+    key = jax.random.PRNGKey(7)
+    shift = 50.0  # large mean relative to unit variance
+
+    def feature_fn(x):
+        return x
+
+    def batch_fn(k, n):
+        return jax.random.normal(k, (n, 8)) + shift
+
+    st = jax.jit(lambda k: streaming_stats(feature_fn, batch_fn, 64, 128,
+                                           k))(key)
+    np.testing.assert_allclose(np.asarray(st.mu), shift, rtol=1e-3)
+    # Covariance ~ identity; the old formula would produce O(10) garbage.
+    np.testing.assert_allclose(np.asarray(st.sigma), np.eye(8), atol=0.06)
+
+
+def test_frechet_distance_host_matches_scipy():
+    from collaborative_gan_sampling_tpu.evals.fid import (
+        frechet_distance_host,
+    )
+    s1 = _random_psd(jax.random.PRNGKey(21), 10)
+    s2 = _random_psd(jax.random.PRNGKey(22), 10, cond=4.0)
+    mu1, mu2 = np.zeros(10), np.linspace(0, 1, 10)
+    a = FIDStats(jnp.asarray(mu1, jnp.float32), jnp.asarray(s1, jnp.float32),
+                 jnp.float32(1))
+    b = FIDStats(jnp.asarray(mu2, jnp.float32), jnp.asarray(s2, jnp.float32),
+                 jnp.float32(1))
+    got = frechet_distance_host(a, b)
+    want = (np.sum((mu1 - mu2) ** 2) + np.trace(s1) + np.trace(s2)
+            - 2 * np.trace(scipy.linalg.sqrtm(
+                np.asarray(s1, np.float32).astype(np.float64)
+                @ np.asarray(s2, np.float32).astype(np.float64))).real)
+    assert got == pytest.approx(want, rel=1e-3)
+
+
+def test_trained_classifier_features_separate_classes():
+    from collaborative_gan_sampling_tpu.config import DataConfig
+    from collaborative_gan_sampling_tpu.data import load_image_dataset
+    from collaborative_gan_sampling_tpu.evals.features import (
+        train_classifier_features,
+    )
+
+    ds = load_image_dataset(DataConfig(dataset="mnist"), procedural_n=2048)
+
+    def data_fn(key, n):
+        return ds.batch(key, n)
+
+    feature_fn, info = train_classifier_features(
+        data_fn, 10, (28, 28, 1), steps=200, batch=128)
+    assert float(info["final_loss"]) < 2.0  # below log(10) chance level
+    x, y = ds.batch(jax.random.PRNGKey(0), 256)
+    f = np.asarray(feature_fn(x))
+    assert f.shape == (256, 256)
+    y = np.asarray(y)
+    # Same-class features more similar than cross-class (centroid distance).
+    c0 = f[y == y[0]].mean(0)
+    other = f[y != y[0]].mean(0)
+    assert np.linalg.norm(f[y == y[0]] - c0, axis=1).mean() < \
+        np.linalg.norm(f[y == y[0]] - other, axis=1).mean() + 1e-3
+
+
 def test_fid_discriminates_distributions():
     """FID(real, real') << FID(real, shifted) with the random_conv net."""
     feature_fn, label = make_feature_fn("random_conv", (16, 16, 1))

@@ -45,7 +45,8 @@ def _tiny_image_cfg(workdir, niters=4):
                           ckpt_every=2, log_every=2),
         refine=RefineConfig(steps=2, rate=0.05, num_batches=2, batch_size=16,
                             burn_in=16, use_pallas=False),
-        eval=EvalConfig(fid_num_samples=64, fid_batch_size=16),
+        eval=EvalConfig(fid_num_samples=64, fid_batch_size=16,
+                        feature_net="random_conv"),
     )
 
 
