@@ -113,15 +113,8 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.command == "sweep":
         # BASELINE config 5: refinement-depth sweep k=1..50, data-parallel.
-        import dataclasses
-        out = {}
-        for k in sweep_steps:
-            cfg_k = dataclasses.replace(cfg, refine=dataclasses.replace(
-                cfg.refine, steps=k))
-            exp_k = Experiment(cfg_k, use_mesh=args.mesh)
-            res = exp_k.sample(state, method="refinement")
-            out[k] = exp_k.evaluate(res)
-            print(json.dumps({"k": k, **out[k]}), file=sys.stderr)
+        out = exp.sweep(state, sweep_steps,
+                        method=args.method or "refinement")
         print(json.dumps(out))
         return 0
 

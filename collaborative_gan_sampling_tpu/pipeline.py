@@ -136,17 +136,33 @@ class Experiment:
 
     def sample(self, state: TrainState, method: str | None = None,
                key: jax.Array | None = None,
-               use_shaped_d: bool = False) -> SampleResult:
+               use_shaped_d: bool = False,
+               refine_cfg=None) -> SampleResult:
         """Run a sampling strategy. With use_shaped_d, refinement runs under
         a previously-saved shaped discriminator (save_shaped_d) — the
-        'train once, shape once, refine many times' path."""
+        'train once, shape once, refine many times' path. `refine_cfg`
+        overrides cfg.refine (used by the K-sweep)."""
         key = key if key is not None else step_key(self.base_key, 0, "eval")
         d_vars = state.d_vars
         if use_shaped_d:
             d_vars = self.load_shaped_d(template=state.d_vars)
         return sample(self.bundle, state.g_vars, d_vars,
-                      self.cfg.refine, key, method=method,
+                      refine_cfg or self.cfg.refine, key, method=method,
                       data_fn=self.data_fn, mesh=self.mesh)
+
+    def sweep(self, state: TrainState, ks: list[int],
+              method: str = "refinement") -> dict[int, dict]:
+        """Refinement-depth sweep k in `ks` (BASELINE config 5). Feature net
+        and real-data stats are computed once and reused across k; each k is
+        one compiled program (static scan length)."""
+        import dataclasses
+
+        out = {}
+        for k in ks:
+            rcfg = dataclasses.replace(self.cfg.refine, steps=k)
+            res = self.sample(state, method=method, refine_cfg=rcfg)
+            out[k] = self.evaluate(res)
+        return out
 
     # -- shaped-D persistence (C11 + C15) -----------------------------------
 

@@ -151,6 +151,16 @@ def test_save_shaped_d_rejects_unshaped_result(tmp_path):
         exp.save_shaped_d(res)
 
 
+def test_sweep(tmp_path):
+    cfg = _tiny_toy_cfg(tmp_path / "run")
+    exp = Experiment(cfg, echo_metrics=False)
+    state = exp.train()
+    out = exp.sweep(state, [1, 3])
+    assert set(out) == {1, 3}
+    for row in out.values():
+        assert np.isfinite(row["pct_hq"])
+
+
 def test_cli_presets(capsys):
     assert cli_main(["presets"]) == 0
     names = json.loads(capsys.readouterr().out.strip())
