@@ -97,10 +97,21 @@ class Experiment:
         writer = MetricsWriter(os.path.join(self.workdir, "train.jsonl"),
                                echo=self._echo)
         import time as _time
+        tail_chunk = None
         try:
             while int(state.step) < niters:
                 t0 = _time.perf_counter()
-                state, metrics = chunk(state)
+                remaining = niters - int(state.step)
+                if remaining < spc:
+                    # Tail chunk: don't overshoot niters (one extra compile).
+                    if tail_chunk is None:
+                        tail_chunk = make_train_chunk(
+                            self.bundle, cfg.train, self.data_fn,
+                            self.base_key, mesh=self.mesh,
+                            steps_per_call=remaining)
+                    state, metrics = tail_chunk(state)
+                else:
+                    state, metrics = chunk(state)
                 step = int(state.step)  # host sync: chunk fully materialized
                 iters_per_s = spc / (_time.perf_counter() - t0)
                 if step % max(spc, cfg.train.log_every) < spc or step >= niters:
