@@ -56,7 +56,11 @@ def main(argv: list[str] | None = None) -> int:
                         help="use all visible devices data-parallel")
     parser.add_argument("--method", default="",
                         help="sampling method override for refine/eval")
+    parser.add_argument("--debug-nans", action="store_true",
+                        help="enable jax_debug_nans (dev runs; SURVEY 5.2)")
     args, overrides = parser.parse_known_args(argv)
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     if args.command == "presets":
         print(json.dumps(list_presets()))

@@ -32,7 +32,7 @@ kernel is lane-aligned.
 from __future__ import annotations
 
 import functools
-from typing import Any, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,6 @@ all-reduced by XLA over ICI.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, NamedTuple
 
 import jax
@@ -41,7 +40,6 @@ from collaborative_gan_sampling_tpu.sampling.rejection import (
     drs_accept_mask,
     estimate_logit_max,
 )
-from collaborative_gan_sampling_tpu.utils.prng import step_key
 
 METHODS = ("standard", "reject", "mhgan", "refinement", "collab")
 
