@@ -84,6 +84,11 @@ class TrainConfig:
     beta2: float = 0.999
     d_steps: int = 1  # D updates per iteration
     g_steps: int = 1  # G updates per iteration (carpedm20 image trainers use 2)
+    # FusedProp (arXiv:2004.03335): compute D and G gradients from ONE
+    # G-forward + D-forward on the fake batch by reusing the VJP pullbacks
+    # with the two losses' cotangents. Simultaneous-update semantics
+    # (ignores d_steps/g_steps); ~1 G-fwd + 1 D-fwd cheaper per iteration.
+    fused_prop: bool = False
     steps_per_call: int = 50  # lax.scan'd train steps per host dispatch
     log_every: int = 200
     ckpt_every: int = 1000

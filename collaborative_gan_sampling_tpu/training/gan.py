@@ -170,7 +170,84 @@ def make_train_chunk(bundle: GANBundle, cfg: TrainConfig, data_fn: DataFn,
         state = state.replace(g_vars=g_vars, g_opt=g_opt)
         return state, {"g_loss": loss}
 
+    def fused_update(state: TrainState, key: jax.Array):
+        """FusedProp (arXiv:2004.03335): one G-fwd + one D-fwd on the fake
+        batch serve BOTH parameter updates — jax.vjp's pullbacks are
+        re-applied with the D-loss and G-loss cotangents:
+
+            d softplus(l)/dl  =  sigmoid(l)      (D's fake term)
+            d softplus(-l)/dl = -sigmoid(-l)     (G's non-saturating loss)
+
+        Cost: Gf + Df(fake) + Df(real)+Db(real) + 2*Db(fake) + Gb versus the
+        alternating trainer's 2*Gf + 3*Df + 2*Db + Gb — one full G forward
+        and one D forward cheaper per (D,G) update pair, with
+        simultaneous-update semantics (same z for both losses).
+        """
+        k_data, k_z, k_lab = jax.random.split(key, 3)
+        x_real, labels_r = data_fn(k_data, batch)
+        x_real = constrain(x_real)
+        z = constrain(bundle.sample_z(k_z, batch))
+        labels_f = (bundle.sample_labels(k_lab, batch)
+                    if bundle.conditional else None)
+
+        def g_fwd(g_params):
+            g_vars = _with_params(state.g_vars, g_params)
+            x, upd = bundle.generate(g_vars, z, labels_f, train=True)
+            return x, upd
+
+        x_fake, g_pull, g_upd = jax.vjp(g_fwd, state.g_vars["params"],
+                                        has_aux=True)
+
+        def d_fwd(d_params, x):
+            d_vars = _with_params(state.d_vars, d_params)
+            logits, upd = bundle.discriminate(d_vars, x, labels_f,
+                                              train=True)
+            return logits, upd
+
+        lf, d_pull, d_upd = jax.vjp(d_fwd, state.d_vars["params"], x_fake,
+                                    has_aux=True)
+
+        def d_real_loss(d_params):
+            d_vars = _with_params(state.d_vars, d_params)
+            lr, upd = bundle.discriminate(d_vars, x_real, labels_r,
+                                          train=True)
+            return jnp.mean(jax.nn.softplus(-lr)), (upd, lr)
+
+        (loss_real, (d_upd_r, lr)), d_grads_real = jax.value_and_grad(
+            d_real_loss, has_aux=True)(state.d_vars["params"])
+
+        inv_b = 1.0 / lf.shape[0]
+        cot_d = jax.nn.sigmoid(lf) * inv_b  # d mean softplus(lf) / d lf
+        cot_g = -jax.nn.sigmoid(-lf) * inv_b  # d mean softplus(-lf) / d lf
+
+        d_grads_fake, _ = d_pull(cot_d)  # x_fake cotangent unused: the D
+        # update must not flow into G (the naive trainer's stop_gradient)
+        _, dx = d_pull(cot_g)
+        (g_grads,) = g_pull(dx)
+
+        d_grads = jax.tree.map(jnp.add, d_grads_real, d_grads_fake)
+
+        updates, d_opt = d_tx.update(d_grads, state.d_opt,
+                                     state.d_vars["params"])
+        d_params = optax.apply_updates(state.d_vars["params"], updates)
+        updates, g_opt = g_tx.update(g_grads, state.g_opt,
+                                     state.g_vars["params"])
+        g_params = optax.apply_updates(state.g_vars["params"], updates)
+
+        state = state.replace(
+            d_vars=_merge_stats(_with_params(state.d_vars, d_params), d_upd),
+            g_vars=_merge_stats(_with_params(state.g_vars, g_params), g_upd),
+            d_opt=d_opt, g_opt=g_opt)
+        d_loss = loss_real + jnp.mean(jax.nn.softplus(lf))
+        return state, {"d_loss": d_loss,
+                       "g_loss": jnp.mean(jax.nn.softplus(-lf)),
+                       "d_real": jnp.mean(lr), "d_fake": jnp.mean(lf)}
+
     def train_step(state: TrainState, _):
+        if getattr(cfg, "fused_prop", False):
+            state, metrics = fused_update(
+                state, step_key(base_key, state.step, "data"))
+            return state.replace(step=state.step + 1), metrics
         metrics = {}
         for i in range(cfg.d_steps):
             state, m = d_update(

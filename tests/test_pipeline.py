@@ -151,6 +151,24 @@ def test_save_shaped_d_rejects_unshaped_result(tmp_path):
         exp.save_shaped_d(res)
 
 
+def test_image_refinement_raises_d_scores(tmp_path):
+    """SURVEY section 4 'MNIST smoke': refinement should increase the mean
+    D logit of samples (monotone-ish in K)."""
+    cfg = _tiny_image_cfg(tmp_path / "imgrun", niters=10)
+    exp = Experiment(cfg, echo_metrics=False)
+    state = exp.train()
+    import dataclasses
+
+    means = []
+    for k in (0, 2, 8):
+        rcfg = dataclasses.replace(cfg.refine, steps=max(k, 1))
+        method = "standard" if k == 0 else "refinement"
+        res = exp.sample(state, method=method, refine_cfg=rcfg)
+        means.append(float(np.asarray(res.logits).mean()))
+    assert means[1] > means[0]
+    assert means[2] > means[1]
+
+
 def test_sweep(tmp_path):
     cfg = _tiny_toy_cfg(tmp_path / "run")
     exp = Experiment(cfg, echo_metrics=False)
