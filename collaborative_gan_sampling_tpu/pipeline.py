@@ -161,6 +161,48 @@ class Experiment:
                       refine_cfg or self.cfg.refine, key, method=method,
                       data_fn=self.data_fn, mesh=self.mesh)
 
+    def fid_refine(self, state: TrainState, key: jax.Array | None = None,
+                   steps: int | None = None,
+                   rate: float | None = None) -> SampleResult:
+        """FID-backprop refinement (arXiv:2009.14075): refine G samples by
+        descending the differentiable Frechet distance to the real stats —
+        a beyond-reference capability (sampling/fid_refine.py)."""
+        from collaborative_gan_sampling_tpu.sampling.fid_refine import (
+            make_fid_refine_fn,
+        )
+
+        key = key if key is not None else step_key(self.base_key, 3, "eval")
+        cfg = self.cfg.refine
+        refine = make_fid_refine_fn(self._feature_fn(), self.real_stats(),
+                                    steps or cfg.steps, rate or cfg.rate)
+
+        @jax.jit
+        def run(g_vars, d_vars, key):
+            def body(carry, i):
+                k = jax.random.fold_in(key, i)
+                k_z, k_lab = jax.random.split(k)
+                z = bundle_z = self.bundle.sample_z(k_z, cfg.batch_size)
+                labels = (self.bundle.sample_labels(k_lab, cfg.batch_size)
+                          if self.bundle.conditional else None)
+                x0 = self.bundle.generate(g_vars, bundle_z, labels,
+                                          train=False)
+                x, aux = refine(x0)
+                logits = self.bundle.discriminate(d_vars, x, labels,
+                                                  train=False)
+                out_labels = (labels if labels is not None
+                              else jnp.zeros((), jnp.int32))
+                return carry, (x, logits, aux["fid_end"], out_labels)
+
+            _, outs = jax.lax.scan(body, None, jnp.arange(cfg.num_batches))
+            return outs
+
+        xs, logits, fids, labels = run(state.g_vars, state.d_vars, key)
+        samples = xs.reshape((-1,) + xs.shape[2:])
+        labels = (labels.reshape(-1) if self.bundle.conditional else None)
+        return SampleResult(samples, jnp.ones(samples.shape[0], bool),
+                            logits.reshape(-1), labels,
+                            {"batch_fid_end": jnp.mean(fids)})
+
     def sweep(self, state: TrainState, ks: list[int],
               method: str = "refinement") -> dict[int, dict]:
         """Refinement-depth sweep k in `ks` (BASELINE config 5). Feature net
