@@ -121,6 +121,11 @@ def frechet_distance_host(a: FIDStats, b: FIDStats) -> float:
     mu_b = np.asarray(jax.device_get(b.mu), np.float64)
     s_a = np.asarray(jax.device_get(a.sigma), np.float64)
     s_b = np.asarray(jax.device_get(b.sigma), np.float64)
+    if not (np.isfinite(mu_a).all() and np.isfinite(mu_b).all()
+            and np.isfinite(s_a).all() and np.isfinite(s_b).all()):
+        # Divergent samples (e.g. an over-aggressive refinement rate) yield
+        # non-finite moments; report inf rather than crashing inside LAPACK.
+        return float("inf")
 
     def psd_sqrt(s):
         s = 0.5 * (s + s.T)

@@ -39,7 +39,7 @@ from collaborative_gan_sampling_tpu.ops.sqrtm import trace_sqrtm_product
 
 
 def fid_loss(x: jax.Array, feature_fn: Callable, real_stats: FIDStats,
-             ns_iters: int = 15, eps: float = 1e-3) -> jax.Array:
+             ns_iters: int = 10, eps: float = 1e-3) -> jax.Array:
     """Differentiable Frechet distance between batch stats and real stats."""
     feats = feature_fn(x)
     st = stats_from_features(feats)
@@ -50,12 +50,20 @@ def fid_loss(x: jax.Array, feature_fn: Callable, real_stats: FIDStats,
 
 
 def make_fid_refine_fn(feature_fn: Callable, real_stats: FIDStats,
-                       steps: int, rate: float,
-                       ns_iters: int = 15) -> Callable:
+                       steps: int, rate: float, ns_iters: int = 10,
+                       clip_norm: float = 1.0) -> Callable:
     """Build `refine(x0) -> (x_K, aux)`: K gradient steps on the batch FID.
 
     aux = {'fid_start', 'fid_end'} (the differentiable-loss values).
     Pure and jittable.
+
+    ns_iters defaults to 10: Newton-Schulz on the (non-symmetric, nearly
+    rank-deficient) covariance product is a CONTRACTION only for its first
+    ~10 iterations at f32 on real feature stats — more iterations amplify
+    the asymmetric noise modes and the loss/grad blow up. 10 iterations give
+    a slightly smoothed FID whose gradient is a fine descent direction.
+    Per-sample gradient clipping bounds steps where the linearisation is
+    poor.
     """
     grad_fn = jax.value_and_grad(
         lambda x: fid_loss(x, feature_fn, real_stats, ns_iters))
@@ -69,7 +77,13 @@ def make_fid_refine_fn(feature_fn: Callable, real_stats: FIDStats,
 
         def step(x, _):
             val, g = grad_fn(x)
-            return x - scale * g, val
+            u = scale * g  # per-sample update
+            if clip_norm > 0:
+                axes = tuple(range(1, u.ndim))
+                nrm = jnp.sqrt(jnp.sum(u * u, axis=axes, keepdims=True)
+                               + 1e-20)
+                u = u * jnp.minimum(1.0, clip_norm / nrm)
+            return x - u, val
 
         x_k, vals = jax.lax.scan(step, x0, None, length=steps)
         fid_k, _ = grad_fn(x_k)
