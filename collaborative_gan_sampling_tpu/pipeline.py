@@ -120,6 +120,8 @@ class Experiment:
                 if cfg.train.ckpt_every and (
                         step % cfg.train.ckpt_every < spc or step >= niters):
                     save_checkpoint(self.ckpt_dir, step, state)
+                if cfg.train.viz_every and step % cfg.train.viz_every < spc:
+                    self._training_viz(state, step)
         finally:
             writer.close()
         return state
@@ -342,6 +344,29 @@ class Experiment:
         return {"fid": self.fid_of_samples(result.samples, result.accepted),
                 "accept_rate": result.accept_rate,
                 "feature_net": self._feature_label}
+
+    def _training_viz(self, state: TrainState, step: int) -> None:
+        """Periodic training visuals (the reference's every-100-steps sample
+        grid / decision-surface dumps — SURVEY.md sections 3.1/3.3)."""
+        key = step_key(self.base_key, step, "eval")
+        n = 64
+        z = self.bundle.sample_z(key, n)
+        labels = (self.bundle.sample_labels(jax.random.fold_in(key, 1), n)
+                  if self.bundle.conditional else None)
+        x = self.bundle.generate(state.g_vars, z, labels, train=False)
+        if self.is_2d:
+            from collaborative_gan_sampling_tpu.viz import plot_2d_overview
+
+            x_real, _ = self.data_fn(jax.random.fold_in(key, 2), 512)
+            plot_2d_overview(
+                os.path.join(self.workdir, f"viz_{step:08d}.png"),
+                self.bundle, state.d_vars, self.spec, x_real, x,
+                title=f"step {step}")
+        else:
+            from collaborative_gan_sampling_tpu.viz import save_image_grid
+
+            save_image_grid(
+                os.path.join(self.workdir, f"samples_{step:08d}.png"), x)
 
     # -- profiling ----------------------------------------------------------
 

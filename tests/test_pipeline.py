@@ -65,6 +65,18 @@ def test_experiment_train_writes_metrics_and_ckpts(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+def test_training_viz_artifacts(tmp_path):
+    import dataclasses
+
+    cfg = _tiny_toy_cfg(tmp_path / "run", niters=40)
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, viz_every=20))
+    exp = Experiment(cfg, echo_metrics=False)
+    exp.train()
+    pngs = [f for f in os.listdir(cfg.workdir) if f.startswith("viz_")]
+    assert len(pngs) >= 1
+
+
 def test_experiment_resume_after_interrupt(tmp_path):
     """Failure-recovery smoke (SURVEY.md section 5.3): restart from ckpt."""
     cfg = _tiny_toy_cfg(tmp_path / "run", niters=40)
