@@ -86,6 +86,30 @@ def test_sampling_under_mesh():
         assert np.isfinite(np.asarray(res.samples)).all()
 
 
+def test_sampling_under_mesh_matches_single_device():
+    """Refinement results must be bit-comparable with and without the mesh
+    (sharding must not change the math)."""
+    bundle, spec, data_fn = _toy(64)
+    tcfg = TrainConfig(batch_size=64, steps_per_call=5, d_lr=1e-3, g_lr=1e-3)
+    base = jax.random.PRNGKey(0)
+    state = create_train_state(bundle, tcfg, base)
+    chunk = make_train_chunk(bundle, tcfg, data_fn, base)
+    state, _ = chunk(state)
+
+    rcfg = RefineConfig(steps=4, rate=0.1, num_batches=2, batch_size=64,
+                        burn_in=64, use_pallas=False)
+    res_1 = sample(bundle, state.g_vars, state.d_vars, rcfg,
+                   jax.random.PRNGKey(5), method="refinement",
+                   data_fn=data_fn, mesh=None)
+    mesh = make_mesh()
+    state_r = replicate(mesh, state)
+    res_8 = sample(bundle, state_r.g_vars, state_r.d_vars, rcfg,
+                   jax.random.PRNGKey(5), method="refinement",
+                   data_fn=data_fn, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(res_1.samples),
+                               np.asarray(res_8.samples), atol=2e-5)
+
+
 def test_mesh_size_request():
     mesh = make_mesh(4)
     assert mesh.devices.shape == (4,)
