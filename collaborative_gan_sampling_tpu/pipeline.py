@@ -418,6 +418,8 @@ class Experiment:
         x0 = self.bundle.generate(state.g_vars, z)
         x_k, aux = refine(state.d_vars, x0)
         x_real, _ = self.data_fn(jax.random.fold_in(key, 1), n_points * 4)
+        from collaborative_gan_sampling_tpu.viz import save_teaser_gif
+
         traj_path = plot_refinement_trajectories(
             os.path.join(self.workdir, "teaser_trajectories.png"),
             aux["traj"], self.spec)
@@ -425,7 +427,10 @@ class Experiment:
             os.path.join(self.workdir, "overview.png"), self.bundle,
             state.d_vars, self.spec, x_real, x0, x_k,
             title=f"{self.cfg.name} @ step {int(state.step)}")
-        return {"trajectories": traj_path, "overview": overview_path}
+        gif_path = save_teaser_gif(
+            os.path.join(self.workdir, "teaser.gif"), aux["traj"], self.spec)
+        return {"trajectories": traj_path, "overview": overview_path,
+                "gif": gif_path}
 
     # -- benchmark matrix ---------------------------------------------------
 

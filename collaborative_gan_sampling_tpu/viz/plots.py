@@ -151,6 +151,40 @@ def plot_refinement_trajectories(path: str, traj: Any,
     return path
 
 
+def save_teaser_gif(path: str, traj: Any, spec: MixtureSpec | None = None,
+                    lim: float = 3.0, max_traj: int = 256,
+                    fps: int = 8) -> str:
+    """The reference README's animated teaser: samples flowing along D's
+    gradient field, one frame per refinement step (C17)."""
+    from matplotlib import animation
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    traj = np.asarray(traj)[:, :max_traj]
+    fig, ax = plt.subplots(figsize=(5, 5))
+    if spec is not None:
+        ax.scatter(np.asarray(spec.means)[:, 0], np.asarray(spec.means)[:, 1],
+                   marker="*", s=140, color="k", zorder=4)
+    scat = ax.scatter(traj[0, :, 0], traj[0, :, 1], s=10,
+                      color="tab:orange", zorder=3)
+    ax.set_xlim(-lim, lim)
+    ax.set_ylim(-lim, lim)
+    ax.set_aspect("equal")
+    title = ax.set_title("refinement step 0")
+
+    def update(k):
+        scat.set_offsets(traj[k])
+        frac = k / max(1, len(traj) - 1)
+        scat.set_color((1 - frac) * np.array([1.0, 0.5, 0.05])
+                       + frac * np.array([0.17, 0.63, 0.17]))
+        title.set_text(f"refinement step {k}")
+        return scat, title
+
+    anim = animation.FuncAnimation(fig, update, frames=len(traj))
+    anim.save(path, writer=animation.PillowWriter(fps=fps))
+    plt.close(fig)
+    return path
+
+
 def save_image_grid(path: str, images: Any, nrow: int = 8) -> str:
     """Tile (N, H, W, C) images in [-1, 1] into a montage png
     (reference ``save_images``)."""

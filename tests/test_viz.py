@@ -27,6 +27,17 @@ def test_save_image_grid_rgb(tmp_path):
     assert os.path.exists(path)
 
 
+def test_teaser_gif(tmp_path):
+    from collaborative_gan_sampling_tpu.viz import save_teaser_gif
+
+    spec = make_mixture("ring8", std=0.1)
+    traj = np.linspace(0, 1, 6)[:, None, None] * np.ones((6, 32, 2))
+    path = save_teaser_gif(str(tmp_path / "t.gif"), traj, spec)
+    assert os.path.exists(path) and os.path.getsize(path) > 1000
+    with open(path, "rb") as fh:
+        assert fh.read(6) in (b"GIF87a", b"GIF89a")
+
+
 def test_2d_plots(tmp_path):
     bundle = make_bundle(ModelConfig(kind="mlp", g_hidden=16, d_hidden=16,
                                      compute_dtype="float32"))
