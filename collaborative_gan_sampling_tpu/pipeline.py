@@ -183,11 +183,10 @@ class Experiment:
             def body(carry, i):
                 k = jax.random.fold_in(key, i)
                 k_z, k_lab = jax.random.split(k)
-                z = bundle_z = self.bundle.sample_z(k_z, cfg.batch_size)
+                z = self.bundle.sample_z(k_z, cfg.batch_size)
                 labels = (self.bundle.sample_labels(k_lab, cfg.batch_size)
                           if self.bundle.conditional else None)
-                x0 = self.bundle.generate(g_vars, bundle_z, labels,
-                                          train=False)
+                x0 = self.bundle.generate(g_vars, z, labels, train=False)
                 x, aux = refine(x0)
                 logits = self.bundle.discriminate(d_vars, x, labels,
                                                   train=False)
