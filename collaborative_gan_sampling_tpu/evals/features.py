@@ -135,6 +135,64 @@ def train_classifier_features(data_fn, num_classes: int,
     return feature_fn, {"params": params, "final_loss": final_loss}
 
 
+def train_rotation_features(data_fn, image_shape: tuple[int, int, int],
+                            steps: int = 1500, batch: int = 256,
+                            lr: float = 1e-3,
+                            seed: int = 0) -> tuple[FeatureFn, dict]:
+    """Self-supervised features for UNLABELED data: RotNet (Gidaris et al.
+    2018) — train SmallClassifier to predict which of 4 right-angle
+    rotations was applied. Needs only `data_fn(key, n) -> x`; gives features
+    far more discriminative than random projections (usable FID on CelebA-
+    style unlabeled datasets)."""
+    import optax
+
+    module = SmallClassifier(num_classes=4)
+    key = jax.random.PRNGKey(seed)
+    params = module.init(jax.random.fold_in(key, 0),
+                         jnp.zeros((1, *image_shape), jnp.float32))
+    tx = optax.adam(lr)
+
+    def rotate_batch(x, k):
+        """Rotate each sample i by k[i] * 90 degrees."""
+        rots = jnp.stack([x, jnp.rot90(x, 1, axes=(1, 2)),
+                          jnp.rot90(x, 2, axes=(1, 2)),
+                          jnp.rot90(x, 3, axes=(1, 2))])  # (4, B, H, W, C)
+        return jnp.take_along_axis(
+            rots, k[None, :, None, None, None], axis=0)[0]
+
+    @jax.jit
+    def fit(params):
+        opt = tx.init(params)
+
+        def step(carry, i):
+            params, opt = carry
+            k_i = jax.random.fold_in(key, 1 + i)
+            x = data_fn(jax.random.fold_in(k_i, 0), batch)
+            rot = jax.random.randint(jax.random.fold_in(k_i, 1), (batch,),
+                                     0, 4)
+            x_rot = rotate_batch(x, rot)
+
+            def loss_fn(p):
+                logits = module.apply(p, x_rot)
+                return optax.softmax_cross_entropy_with_integer_labels(
+                    logits, rot).mean()
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt = tx.update(grads, opt, params)
+            return (optax.apply_updates(params, updates), opt), loss
+
+        (params, _), losses = jax.lax.scan(step, (params, opt),
+                                           jnp.arange(steps))
+        return params, losses[-1]
+
+    params, final_loss = fit(params)
+
+    def feature_fn(x: jax.Array) -> jax.Array:
+        return module.apply(params, x, return_features=True)
+
+    return feature_fn, {"params": params, "final_loss": final_loss}
+
+
 def make_feature_fn(spec: str, image_shape: tuple[int, int, int],
                     seed: int = 0) -> tuple[FeatureFn, str]:
     """Build (feature_fn, label). `spec`: 'auto' | 'random_conv' |

@@ -285,6 +285,22 @@ class Experiment:
                     steps=self.cfg.eval.feature_train_steps,
                     seed=self.cfg.seed)
                 self._feature_label = "trained_classifier"
+            elif spec == "auto" and not self.is_2d:
+                # Unlabeled image data: self-supervised RotNet features —
+                # random projections cannot resolve FID differences here.
+                from collaborative_gan_sampling_tpu.evals.features import (
+                    train_rotation_features,
+                )
+
+                def unlabelled_fn(key, n):
+                    x, _ = self.data_fn(key, n)
+                    return x
+
+                self._cached_feature_fn, _ = train_rotation_features(
+                    unlabelled_fn, self.bundle.data_shape,
+                    steps=self.cfg.eval.feature_train_steps,
+                    seed=self.cfg.seed)
+                self._feature_label = "rotnet"
             else:
                 self._cached_feature_fn, self._feature_label = \
                     make_feature_fn(spec, self.bundle.data_shape,

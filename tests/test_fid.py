@@ -182,6 +182,30 @@ def test_trained_classifier_features_separate_classes():
         np.linalg.norm(f[y == y[0]] - other, axis=1).mean() + 1e-3
 
 
+def test_rotation_features_learn_orientation():
+    from collaborative_gan_sampling_tpu.config import DataConfig
+    from collaborative_gan_sampling_tpu.data import load_image_dataset
+    from collaborative_gan_sampling_tpu.data.images import normalize_images
+    from collaborative_gan_sampling_tpu.evals.features import (
+        train_rotation_features,
+    )
+
+    ds = load_image_dataset(DataConfig(dataset="mnist"), procedural_n=1024)
+
+    def data_fn(key, n):
+        x, _ = ds.batch(key, n)
+        return x
+
+    feature_fn, info = train_rotation_features(data_fn, (28, 28, 1),
+                                               steps=200, batch=128)
+    # 4-way chance level is log(4) ~ 1.386; must be well below.
+    assert float(info["final_loss"]) < 1.2
+    x = data_fn(jax.random.PRNGKey(0), 64)
+    f = feature_fn(x)
+    assert f.shape == (64, 256)
+    assert np.isfinite(np.asarray(f)).all()
+
+
 def test_fid_discriminates_distributions():
     """FID(real, real') << FID(real, shifted) with the random_conv net."""
     feature_fn, label = make_feature_fn("random_conv", (16, 16, 1))
