@@ -4,30 +4,42 @@ Completes the Pallas story for the image stack: the ENTIRE K-step
 discriminator-guided refinement loop for the 28x28 DCGAN discriminator runs
 in one kernel per batch tile — x, both conv feature maps and all weights stay
 VMEM-resident across all K steps, eliminating the HBM round-trips of
-activations between XLA's per-step forward/backward passes (the measured
-bandwidth ceiling of the scan path).
+activations between XLA's per-step forward/backward passes.
 
-Design (spec + parity oracle: ops/conv_refine_ref.py):
-* BatchNorm is folded into conv1's weights on the host (eval mode).
-* All tensors live on a 7x7 grid, zero-padded to 9x9 VMEM scratch buffers,
-  in space-to-depth (parity) layouts: x as s2d-by-4 (16 parity planes,
-  channel = (iy%4)*4 + ix%4), h1 as four s2d-by-2 parity blocks of 64
-  channels, h2 natively 7x7x128. Stride-2 5x5 SAME convolutions (XLA pads
-  low=1 / high=2) decompose into 25 taps, each a {-1,0,+1}-shifted
-  *contiguous static slice* feeding a matmul (conv1) or a broadcast FMA
-  (conv0's single input channel).
-* Mutation discipline: Mosaic lowers neither scatter nor value-level
-  dynamic_update_slice — every accumulation is a read-modify-write on a
-  VMEM scratch ref with static slice indices. The backward dh1 accumulator
-  is ONE reused buffer processed parity-by-parity (25 taps each) to fit
-  VMEM; out-of-range taps land in the zero borders, which are re-zeroed on
-  reuse.
-* lrelu masks need no stored pre-activations: leaky-relu preserves sign, so
-  the masks are recovered from the stored activations themselves.
-* float32 throughout (parity against the oracle to ~1e-7).
+Layout: everything is a 2-D ``(cell * tile, channels)`` array in a
+**cell-major flat frame** of exactly 128 cells — 16 guard cells, the 9x9
+zero-padded 7x7 working grid (81 cells, from the space-to-depth / parity
+decomposition of ops/conv_refine_ref.py), and 31 tail guards:
+
+* a stride-2 5x5 SAME conv tap (shift (sy, sx) on the padded grid) is a
+  contiguous 2-D slice at row offset ``(9*sy + sx) * tile`` — uniform across
+  batch and rows because cross-cell wraps land in the always-zero border
+  cells; the input-VJP's scatter becomes a *gather with the opposite shift*,
+  so the kernel contains no scatter, no dynamic_update_slice, no >2-D vector
+  ops (Mosaic unrolls leading dims of rank>2 ops — the naive 4-D kernel
+  generated ~450 native ops per tap and OOM'd the compiler);
+* conv1 taps are (81*T, 64) @ (64, 128) MXU matmuls; conv0 (1 input channel)
+  is lane-onehot extraction + broadcast FMA on the VPU;
+* the dense head reduces per-sample by 7 frame-halving adds (128 cells);
+* BatchNorm is folded into conv1's weights on the host (eval mode); lrelu
+  masks come from activation signs (leaky relu preserves sign), so no
+  pre-activations are stored;
+* float32 throughout; parity oracle: ops/conv_refine_ref.py == the scan path.
 
 Covers: image_size 28, channels 1, d_base_filters 64 (the `mnist`/`fmnist`
 presets), unconditional, eval mode — gated by `supports_conv_pallas_refine`.
+
+MEASURED RESULT (v5e, 2026-08-16): compiles and matches the scan oracle
+(7e-5 x / 2e-4 logit diff = the scan path's own bf16-MXU noise), but at
+K=10, B=4096 runs 27.2k refined samples/s vs the XLA scan path's 168.5k —
+6.2x SLOWER. XLA's bf16 convolutions + fusion beat the decomposed-tap
+structure at this model size (f32 matmuls, 25 small MXU calls per conv,
+VPU-bound conv0 taps, tile<=16 from VMEM liveness). The production conv-D
+refinement therefore stays on the scan path, exactly as SURVEY.md section 7
+stage 5 anticipated; this kernel is retained as validated infrastructure
+(and the honest negative result) — see ROADMAP.md for the lane-concat
+big-matmul variant that could close the gap. `supports_conv_pallas_refine`
+is intentionally NOT wired into sampling/refine.py.
 """
 
 from __future__ import annotations
@@ -47,8 +59,10 @@ from collaborative_gan_sampling_tpu.ops.conv_refine_ref import (
 )
 
 # Static geometry for the 28x28 / 64-filter discriminator.
-J = 7  # working grid (everything lives on 7x7)
-JP = 9  # padded grid
+J = 7  # working grid
+JP = 9  # zero-padded grid (81 cells)
+GUARD = 16  # front guard cells; back guard = 128 - 16 - 81 = 31
+FRAME = 128  # total cells per sample
 C1 = 64
 C2 = 128
 NX = 16  # x parity planes (s2d by 4)
@@ -70,11 +84,8 @@ def d2s4(x: jax.Array) -> jax.Array:
 
 
 def _x_taps():
-    """conv0 tap table on the s4d x grid.
-
-    Output row oy14 = 2*j + qy (qy = h1 parity), input row
-    iy28 = 2*oy14 + dy - 1 = 4*(j + sy) + ry. Returns
-    {qy: [(dy, ry, sy)]} with sy in {-1, 0} and ry in [0, 4)."""
+    """conv0 tap table on the s4d x grid: {qy: [(dy, ry, sy)]} with
+    iy28 = 2*(2*j + qy) + dy - 1 = 4*(j + sy) + ry."""
     table = {}
     for qy in (0, 1):
         rows = []
@@ -88,177 +99,217 @@ def _x_taps():
 X_TAPS = _x_taps()
 
 
+def _cells_to_frame(grid_vals: jax.Array) -> jax.Array:
+    """Host: (B, 7, 7, C) -> cell-major frame (FRAME, B, C) with zero
+    borders/guards (cell = (jy+1)*9 + (jx+1) + GUARD)."""
+    b, _, _, c = grid_vals.shape
+    padded = jnp.zeros((JP, JP, b, c), grid_vals.dtype).at[
+        1:1 + J, 1:1 + J].set(grid_vals.transpose(1, 2, 0, 3))
+    cells = padded.reshape(JP * JP, b, c)
+    return jnp.concatenate([
+        jnp.zeros((GUARD, b, c), grid_vals.dtype),
+        cells,
+        jnp.zeros((FRAME - GUARD - JP * JP, b, c), grid_vals.dtype),
+    ], axis=0)
+
+
+def _frame_to_cells(frame: jax.Array) -> jax.Array:
+    """Host: inverse of _cells_to_frame -> (B, 7, 7, C)."""
+    _, b, c = frame.shape
+    cells = frame[GUARD:GUARD + JP * JP].reshape(JP, JP, b, c)
+    return cells[1:1 + J, 1:1 + J].transpose(2, 0, 1, 3)
+
+
 def _prep_weights(params: FoldedConvD):
     """Host-side packing of folded weights into kernel-friendly arrays."""
     w0_taps = params.w0[:, :, 0, :].astype(jnp.float32).reshape(25, 1, C1)
     w1_taps = params.w1.astype(jnp.float32).reshape(25, C1, C2)
-    # dense (6272, 1) is h2.reshape(B, 7*7*128) row-major -> lay out on the
-    # (1, 7, 7, 128) grid so dense fwd/bwd are broadcast ops.
-    wd_grid = params.wd.astype(jnp.float32).reshape(1, J, J, C2)
+    # dense (6272, 1) over h2[(oy, ox), c] -> per-cell rows on the frame,
+    # zero on border/guard cells (also serves as the interior mask).
+    wd_grid = params.wd.astype(jnp.float32).reshape(J, J, 1, C2)
+    wd_frame = _cells_to_frame(wd_grid.transpose(2, 0, 1, 3))  # (F, 1, 128)
     b0 = params.b0.astype(jnp.float32).reshape(1, C1)
     b1 = params.b1.astype(jnp.float32).reshape(1, C2)
     bd = params.bd.astype(jnp.float32).reshape(1, 1)
-    return w0_taps, w1_taps, wd_grid, b0, b1, bd
+    return w0_taps, w1_taps, wd_frame, b0, b1, bd
 
 
-def _interior(ref):
-    """Read the 7x7 interior of a padded scratch ref -> value."""
-    return ref[:, 1:1 + J, 1:1 + J, :]
+def _window(frame_flat: jax.Array, delta: int, tile: int) -> jax.Array:
+    """Shifted 81-cell window of a (FRAME*T, C) flat frame: rows
+    [(GUARD + delta) * T, (GUARD + delta + 81) * T)."""
+    start = (GUARD + delta) * tile
+    return jax.lax.slice(
+        frame_flat, (start, 0),
+        (start + JP * JP * tile, frame_flat.shape[1]))
 
 
-def _lrelu(v):
-    return jnp.where(v > 0, v, 0.2 * v)
+def _frame_of(window_vals: jax.Array, tile: int) -> jax.Array:
+    """(81*T, C) window -> (FRAME*T, C) flat frame with zero guards."""
+    c = window_vals.shape[1]
+    return jnp.concatenate([
+        jnp.zeros((GUARD * tile, c), jnp.float32),
+        window_vals,
+        jnp.zeros(((FRAME - GUARD - JP * JP) * tile, c), jnp.float32),
+    ], axis=0)
 
 
 def _refine_kernel(steps: int, rate: float, tile: int,
-                   x_in_ref, w0_ref, w1_ref, wd_ref, b0_ref, b1_ref, bd_ref,
-                   x_out_ref, logit_ref,
-                   xw, h1w00, h1w01, h1w10, h1w11, dacc, dx16):
-    h1w = {(0, 0): h1w00, (0, 1): h1w01, (1, 0): h1w10, (1, 1): h1w11}
+                   x_ref, mask_ref, w0_ref, w1_ref, wd_ref, b0_ref, b1_ref,
+                   bd_ref, x_out_ref, logit_ref):
+    nw = JP * JP * tile  # window rows
+    mask = mask_ref[:].reshape(FRAME * tile, 1)  # 1 on interior cells
     w0 = w0_ref[:]  # (25, 1, 64)
-    wd = wd_ref[:]  # (1, 7, 7, 128)
-    b0 = b0_ref[:]  # (1, 64)
-    b1 = b1_ref[:]  # (1, 128)
-    bd = bd_ref[:]  # (1, 1)
+    b0 = b0_ref[:]
+    b1 = b1_ref[:]
+    bd = bd_ref[:]
+    wd_flat = wd_ref[:].reshape(FRAME * tile, C2)  # broadcast via block pass
 
-    # Initialise padded scratch: zero borders once; interiors overwritten.
-    xw[...] = jnp.zeros_like(xw)
-    xw[:, 1:1 + J, 1:1 + J, :] = x_in_ref[:]
-    for p in PARITIES:
-        h1w[p][...] = jnp.zeros_like(h1w[p])
+    lane16 = jax.lax.broadcasted_iota(jnp.int32, (1, NX), 1)
 
-    def forward():
-        """xw -> h1w blocks (stored) -> (h2 value, logit value)."""
+    def forward(xf):
+        """xf: (FRAME*T, 16) flat x frame -> (h1 frames, h2 window, logit)."""
+        h1 = {}
         for qy, qx in PARITIES:
-            acc = jnp.broadcast_to(b0[None, None], (tile, J, J, C1))
+            acc = jnp.broadcast_to(b0, (nw, C1))
             for dy, ry, sy in X_TAPS[qy]:
                 for dx, rx, sx in X_TAPS[qx]:
-                    block = xw[:, 1 + sy:1 + sy + J, 1 + sx:1 + sx + J, :]
-                    plane = block[..., ry * 4 + rx]  # (T, 7, 7)
-                    acc = acc + plane[..., None] * w0[dy * 5 + dx][None, None]
-            h1w[(qy, qx)][:, 1:1 + J, 1:1 + J, :] = _lrelu(acc)
+                    blk = _window(xf, 9 * sy + sx, tile)  # (81T, 16)
+                    sel = (lane16 == (ry * 4 + rx)).astype(jnp.float32)
+                    plane = jnp.sum(blk * sel, axis=1, keepdims=True)
+                    acc = acc + plane * w0[dy * 5 + dx]
+            h1w = jnp.where(acc > 0, acc, 0.2 * acc)
+            h1[(qy, qx)] = _frame_of(
+                h1w * _window(mask, 0, tile), tile)
 
-        z2 = jnp.broadcast_to(b1[None, None], (tile, J, J, C2))
+        z2 = jnp.broadcast_to(b1, (nw, C2))
         for dy, py, sy in TAPS:
             for dx, px, sx in TAPS:
-                block = h1w[(py, px)][:, 1 + sy:1 + sy + J,
-                                      1 + sx:1 + sx + J, :]
-                w = w1_ref[dy * 5 + dx]  # (64, 128)
-                z2 = z2 + jnp.dot(block.reshape(tile * J * J, C1), w,
-                                  preferred_element_type=jnp.float32
-                                  ).reshape(tile, J, J, C2)
-        h2 = _lrelu(z2)
-        # Single-axis staged reductions: Mosaic supports neither rank-1
-        # intermediates nor multi-axis reductions over both trailing dims.
-        a = jnp.sum(h2 * wd, axis=3, keepdims=True)  # (T, 7, 7, 1)
-        c = jnp.sum(jnp.sum(a, axis=2, keepdims=True), axis=1,
-                    keepdims=True)  # (T, 1, 1, 1)
-        logit = c[:, :, 0, 0] + bd  # (T, 1)
-        return h2, logit
+                blk = _window(h1[(py, px)], 9 * sy + sx, tile)
+                z2 = z2 + jnp.dot(blk, w1_ref[dy * 5 + dx],
+                                  preferred_element_type=jnp.float32)
+        h2 = jnp.where(z2 > 0, z2, 0.2 * z2)
 
-    def body(_, carry):
-        h2, logit = forward()
-        dlogit = -jax.nn.sigmoid(-logit)  # d softplus(-l) / dl
+        # dense head: per-row dot with the wd frame, then 7 halving adds
+        # (frame = 128 cells) reduce cell-major rows to per-sample logits.
+        q = jnp.sum(_frame_of(h2, tile) * wd_flat, axis=1, keepdims=True)
+        n = FRAME * tile
+        while n > tile:
+            n //= 2
+            q = jax.lax.slice(q, (0, 0), (n, 1)) + \
+                jax.lax.slice(q, (n, 0), (2 * n, 1))
+        logit = q + bd  # (T, 1)
+        return h1, h2, logit
 
-        # dense + lrelu backward (sign of h2 == sign of z2). Broadcast in
-        # two stages: lanes first, then sublanes (Mosaic cannot broadcast a
-        # single operand across both at once).
-        dlog_l = jnp.broadcast_to(dlogit, (tile, C2))  # (T, 128)
-        dh2 = dlog_l[:, None, None, :] * wd
-        dz2 = jnp.where(h2 > 0, dh2, 0.2 * dh2)
-        dz2_flat = dz2.reshape(tile * J * J, C2)
+    def body(_, xf):
+        h1, h2, logit = forward(xf)
+        dlogit = -jax.nn.sigmoid(-logit)  # (T, 1)
 
-        dx16[...] = jnp.zeros_like(dx16)
-        # conv1 + conv0 backward, one h1-parity block at a time (dacc is the
-        # single reused dh1 accumulator).
+        # dense backward: dh2 frame rows (c*T + b) = dlogit[b] * wd[c].
+        dl = jnp.broadcast_to(dlogit.reshape(1, tile, 1),
+                              (FRAME, tile, 1)).reshape(FRAME * tile, 1)
+        dh2f = dl * wd_flat  # zero outside interior cells by construction
+        h2f = _frame_of(h2, tile)
+        dz2f = jnp.where(h2f > 0, dh2f, 0.2 * dh2f)
+
+        # conv1 backward: scatter-as-gather with the opposite shift.
+        dxf = jnp.zeros((FRAME * tile, NX), jnp.float32)
         for qy, qx in PARITIES:
-            dacc[...] = jnp.zeros_like(dacc)
+            dacc = jnp.zeros((nw, C1), jnp.float32)
             for dy, py, sy in TAPS:
                 if py != qy:
                     continue
                 for dx, px, sx in TAPS:
                     if px != qx:
                         continue
-                    w = w1_ref[dy * 5 + dx]  # (64, 128)
-                    contrib = jnp.dot(dz2_flat, w.T,
-                                      preferred_element_type=jnp.float32
-                                      ).reshape(tile, J, J, C1)
-                    sl = (slice(None), slice(1 + sy, 1 + sy + J),
-                          slice(1 + sx, 1 + sx + J), slice(None))
-                    dacc[sl] = dacc[sl] + contrib
-            # lrelu backward via the stored activation's sign.
-            h1_blk = h1w[(qy, qx)][:, 1:1 + J, 1:1 + J, :]
-            dz1 = jnp.where(h1_blk > 0, _interior(dacc),
-                            0.2 * _interior(dacc))
+                    blk = _window(dz2f, -(9 * sy + sx), tile)
+                    dacc = dacc + jnp.dot(blk, w1_ref[dy * 5 + dx].T,
+                                          preferred_element_type=jnp.float32)
+            h1_blk = _window(h1[(qy, qx)], 0, tile)
+            dz1 = jnp.where(h1_blk > 0, dacc, 0.2 * dacc)
+            dz1f = _frame_of(dz1 * _window(mask, 0, tile), tile)
+            # conv0 backward (gather with opposite shift per tap).
             for dy, ry, sy in X_TAPS[qy]:
                 for dx, rx, sx in X_TAPS[qx]:
-                    plane = jnp.sum(dz1 * w0[dy * 5 + dx][None, None],
-                                    axis=-1)  # (T, 7, 7)
-                    onehot = (jax.lax.broadcasted_iota(
-                        jnp.int32, (1, 1, 1, NX), 3) == (ry * 4 + rx)
-                    ).astype(jnp.float32)
-                    sl = (slice(None), slice(1 + sy, 1 + sy + J),
-                          slice(1 + sx, 1 + sx + J), slice(None))
-                    dx16[sl] = dx16[sl] + plane[..., None] * onehot
+                    blk = _window(dz1f, -(9 * sy + sx), tile)
+                    plane = jnp.sum(blk * w0[dy * 5 + dx], axis=1,
+                                    keepdims=True)
+                    sel = (lane16 == (ry * 4 + rx)).astype(jnp.float32)
+                    dxf = dxf + _frame_of(plane * sel *
+                                          _window(mask, 0, tile), tile)
 
-        xw[:, 1:1 + J, 1:1 + J, :] = (
-            _interior(xw) - rate * _interior(dx16))
-        return carry
+        return xf - rate * (dxf * mask)
 
-    jax.lax.fori_loop(0, steps, body, 0)
-    _, logit = forward()
-    x_out_ref[:] = _interior(xw)
+    xf = x_ref[:].reshape(FRAME * tile, NX)
+    xf = jax.lax.fori_loop(0, steps, body, xf)
+    _, _, logit = forward(xf)
+    x_out_ref[:] = xf.reshape(FRAME, tile, NX)
     logit_ref[:] = logit
 
 
 @functools.partial(jax.jit,
                    static_argnames=("steps", "rate", "tile", "interpret"))
 def fused_refine_conv28(d_vars: Any, x0: jax.Array, steps: int, rate: float,
-                        tile: int = 64, interpret: bool = False):
+                        tile: int = 32, interpret: bool = False):
     """K-step fused refinement under the 28x28 DCGAN D. x0: (B, 28, 28, 1).
 
     Returns (x_K (B, 28, 28, 1), logits (B,)). Parity oracle:
     ops/conv_refine_ref.refine_s2d_reference (== the scan path)."""
     params = fold_dcgan_d(d_vars)
-    weights = _prep_weights(params)
+    w0_taps, w1_taps, wd_frame, b0, b1, bd = _prep_weights(params)
     b = x0.shape[0]
     b_pad = ((b + tile - 1) // tile) * tile
     x16 = s2d4(x0.astype(jnp.float32))
     x16 = jnp.zeros((b_pad, J, J, NX), jnp.float32).at[:b].set(x16)
+    x_frame = _cells_to_frame(x16)  # (FRAME, B_pad, 16)
+
+    # Per-tile constant inputs, replicated across the grid.
+    mask_grid = jnp.ones((1, J, J, 1), jnp.float32)
+    mask_frame = jnp.broadcast_to(_cells_to_frame(mask_grid),
+                                  (FRAME, tile, 1))
+    wd_tile = jnp.broadcast_to(wd_frame, (FRAME, tile, C2))
 
     grid = (b_pad // tile,)
-    x_spec = pl.BlockSpec((tile, J, J, NX), lambda i: (i, 0, 0, 0),
-                          memory_space=pltpu.VMEM)
-    w_specs = [pl.BlockSpec(w.shape, lambda i, n=w.ndim: (0,) * n,
-                            memory_space=pltpu.VMEM) for w in weights]
-    out_specs = (
-        pl.BlockSpec((tile, J, J, NX), lambda i: (i, 0, 0, 0),
+
+    def batch_block(shape):
+        return pl.BlockSpec((FRAME, tile) + shape[2:],
+                            lambda i: (0, i) + (0,) * (len(shape) - 2),
+                            memory_space=pltpu.VMEM)
+
+    const_specs = [
+        pl.BlockSpec(mask_frame.shape, lambda i: (0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-    )
-    scratch = [
-        pltpu.VMEM((tile, JP, JP, NX), jnp.float32),  # xw
-        pltpu.VMEM((tile, JP, JP, C1), jnp.float32),  # h1w00
-        pltpu.VMEM((tile, JP, JP, C1), jnp.float32),  # h1w01
-        pltpu.VMEM((tile, JP, JP, C1), jnp.float32),  # h1w10
-        pltpu.VMEM((tile, JP, JP, C1), jnp.float32),  # h1w11
-        pltpu.VMEM((tile, JP, JP, C1), jnp.float32),  # dacc (reused dh1)
-        pltpu.VMEM((tile, JP, JP, NX), jnp.float32),  # dx16
+        pl.BlockSpec(w0_taps.shape, lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(w1_taps.shape, lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(wd_tile.shape, lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(b0.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(b1.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(bd.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
     kernel = functools.partial(_refine_kernel, steps, rate, tile)
     x_out, logits = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[x_spec] + w_specs,
-        out_specs=out_specs,
+        in_specs=[batch_block(x_frame.shape)] + const_specs,
+        out_specs=(
+            batch_block((FRAME, tile, NX)),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
         out_shape=(
-            jax.ShapeDtypeStruct((b_pad, J, J, NX), jnp.float32),
+            jax.ShapeDtypeStruct((FRAME, b_pad, NX), jnp.float32),
             jax.ShapeDtypeStruct((b_pad, 1), jnp.float32),
         ),
-        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            # The default 16MB scoped-vmem budget is too small for the live
+            # set of value frames; the v5e has 128MB of vmem arena.
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
-    )(x16, *weights)
-    return d2s4(x_out[:b]), logits[:b, 0]
+    )(x_frame, mask_frame, w0_taps, w1_taps, wd_tile, b0, b1, bd)
+    return d2s4(_frame_to_cells(x_out)[:b]), logits[:b, 0]
 
 
 def supports_conv_pallas_refine(bundle, cfg, labels) -> bool:
