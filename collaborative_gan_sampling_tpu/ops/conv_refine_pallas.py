@@ -40,6 +40,17 @@ stage 5 anticipated; this kernel is retained as validated infrastructure
 (and the honest negative result) — see ROADMAP.md for the lane-concat
 big-matmul variant that could close the gap. `supports_conv_pallas_refine`
 is intentionally NOT wired into sampling/refine.py.
+
+V2 UPDATE (same day): the lane-concat big-matmul variant
+(fused_refine_conv28_v2 below — conv taps folded into 13 large bf16 MXU
+matmuls per step, conv0's plane selection folded into sparse-structured
+weight matrices) doubles the kernel to 54.8k samples/s (tile=32, bf16) —
+still 3x behind XLA's scan path. Remaining gap: per-step lane-concat copies
+of 25 shifted windows, M capped at 81*tile=2592 rows by VMEM liveness
+(tile=64 OOMs even at a 100MB scoped budget). Closing it would need a
+scratch-ref im2col staging area and double-buffered batch tiles; measured
+judgment: not worth it against XLA's implicit-im2col convs at this model
+size. Both kernels stay as validated, tested, gated-off infrastructure.
 """
 
 from __future__ import annotations
@@ -309,6 +320,206 @@ def fused_refine_conv28(d_vars: Any, x0: jax.Array, steps: int, rate: float,
         ),
         interpret=interpret,
     )(x_frame, mask_frame, w0_taps, w1_taps, wd_tile, b0, b1, bd)
+    return d2s4(_frame_to_cells(x_out)[:b]), logits[:b, 0]
+
+
+# ---------------------------------------------------------------------------
+# V2: lane-concat big-matmul variant — every conv stage is ONE (or four)
+# large MXU matmuls over lane-concatenated shifted windows; the conv0
+# plane-selection is folded into a sparse-structured weight matrix.
+# ---------------------------------------------------------------------------
+
+
+def _xtap_list(qy: int, qx: int):
+    """Ordered 25 conv0 taps for h1 parity (qy, qx): (dy, dx, ry, rx, sy, sx)."""
+    out = []
+    for dy, ry, sy in X_TAPS[qy]:
+        for dx, rx, sx in X_TAPS[qx]:
+            out.append((dy, dx, ry, rx, sy, sx))
+    return out
+
+
+def _ctap_list():
+    """Ordered 25 conv1 taps: (dy, dx, py, px, sy, sx)."""
+    out = []
+    for dy, py, sy in TAPS:
+        for dx, px, sx in TAPS:
+            out.append((dy, dx, py, px, sy, sx))
+    return out
+
+
+def _pack_big_weights(params: FoldedConvD, mm_dtype):
+    """Pack tap weights into the big-matmul layout (V2)."""
+    w0 = params.w0[:, :, 0, :].astype(jnp.float32)  # (5, 5, 64)
+    w1 = params.w1.astype(jnp.float32)  # (5, 5, 64, 128)
+
+    w0_fwd = {}
+    w0_bwd = {}
+    for qy, qx in PARITIES:
+        taps = _xtap_list(qy, qx)
+        fwd = jnp.zeros((25 * NX, C1), jnp.float32)
+        bwd = jnp.zeros((25 * C1, NX), jnp.float32)
+        for t, (dy, dx, ry, rx, sy, sx) in enumerate(taps):
+            fwd = fwd.at[t * NX + ry * 4 + rx, :].set(w0[dy, dx])
+            bwd = bwd.at[t * C1:(t + 1) * C1, ry * 4 + rx].set(w0[dy, dx])
+        w0_fwd[(qy, qx)] = fwd.astype(mm_dtype)
+        w0_bwd[(qy, qx)] = bwd.astype(mm_dtype)
+
+    ctaps = _ctap_list()
+    w1_fwd = jnp.concatenate([w1[dy, dx] for dy, dx, *_ in ctaps],
+                             axis=0).astype(mm_dtype)  # (1600, 128)
+    w1_bwd = {}
+    for qy, qx in PARITIES:
+        rows = [w1[dy, dx].T for dy, dx, py, px, _, _ in ctaps
+                if (py, px) == (qy, qx)]  # each (128, 64)
+        w1_bwd[(qy, qx)] = jnp.concatenate(rows, axis=0).astype(mm_dtype)
+
+    order = [(0, 0), (0, 1), (1, 0), (1, 1)]
+    return (jnp.stack([w0_fwd[p] for p in order]),     # (4, 400, 64)
+            jnp.stack([w0_bwd[p] for p in order]),     # (4, 1600, 16)
+            w1_fwd,                                    # (1600, 128)
+            {p: w1_bwd[p] for p in order})
+
+
+def _refine_kernel_v2(steps: int, rate: float, tile: int, mm_dtype,
+                      x_ref, mask_ref, w0f_ref, w0b_ref, w1f_ref,
+                      w1b00_ref, w1b01_ref, w1b10_ref, w1b11_ref,
+                      wd_ref, b0_ref, b1_ref, bd_ref,
+                      x_out_ref, logit_ref):
+    nw = JP * JP * tile
+    mask = mask_ref[:].reshape(FRAME * tile, 1)
+    maskw = jax.lax.slice(mask, (GUARD * tile, 0),
+                          ((GUARD + JP * JP) * tile, 1))
+    b0 = b0_ref[:]
+    b1 = b1_ref[:]
+    bd = bd_ref[:]
+    wd_flat = wd_ref[:].reshape(FRAME * tile, C2)
+    w1b = {(0, 0): w1b00_ref, (0, 1): w1b01_ref,
+           (1, 0): w1b10_ref, (1, 1): w1b11_ref}
+    order = [(0, 0), (0, 1), (1, 0), (1, 1)]
+
+    def mm(a, w):
+        return jnp.dot(a.astype(mm_dtype), w,
+                       preferred_element_type=jnp.float32)
+
+    def forward(xf):
+        h1 = {}
+        for pi, (qy, qx) in enumerate(order):
+            px_blocks = [
+                _window(xf, 9 * sy + sx, tile)
+                for _, _, _, _, sy, sx in _xtap_list(qy, qx)]
+            patches = jnp.concatenate(px_blocks, axis=1)  # (81T, 400)
+            acc = mm(patches, w0f_ref[pi]) + b0
+            h1w = jnp.where(acc > 0, acc, 0.2 * acc)
+            h1[(qy, qx)] = _frame_of(h1w * maskw, tile)
+
+        p1_blocks = [
+            _window(h1[(py, px)], 9 * sy + sx, tile)
+            for _, _, py, px, sy, sx in _ctap_list()]
+        p1 = jnp.concatenate(p1_blocks, axis=1)  # (81T, 1600)
+        z2 = mm(p1, w1f_ref[:]) + b1
+        h2 = jnp.where(z2 > 0, z2, 0.2 * z2)
+
+        q = jnp.sum(_frame_of(h2, tile) * wd_flat, axis=1, keepdims=True)
+        n = FRAME * tile
+        while n > tile:
+            n //= 2
+            q = jax.lax.slice(q, (0, 0), (n, 1)) + \
+                jax.lax.slice(q, (n, 0), (2 * n, 1))
+        return h1, h2, q + bd
+
+    def body(_, xf):
+        h1, h2, logit = forward(xf)
+        dlogit = -jax.nn.sigmoid(-logit)
+
+        dl = jnp.broadcast_to(dlogit.reshape(1, tile, 1),
+                              (FRAME, tile, 1)).reshape(FRAME * tile, 1)
+        dh2f = dl * wd_flat
+        h2f = _frame_of(h2, tile)
+        dz2f = jnp.where(h2f > 0, dh2f, 0.2 * dh2f)
+
+        dxf = jnp.zeros((FRAME * tile, NX), jnp.float32)
+        for pi, (qy, qx) in enumerate(order):
+            q_blocks = [
+                _window(dz2f, -(9 * sy + sx), tile)
+                for _, _, py, px, sy, sx in _ctap_list()
+                if (py, px) == (qy, qx)]
+            qp = jnp.concatenate(q_blocks, axis=1)  # (81T, n_p*128)
+            dacc = mm(qp, w1b[(qy, qx)][:])  # (81T, 64)
+            h1_blk = _window(h1[(qy, qx)], 0, tile)
+            dz1 = jnp.where(h1_blk > 0, dacc, 0.2 * dacc)
+            dz1f = _frame_of(dz1 * maskw, tile)
+            q0_blocks = [
+                _window(dz1f, -(9 * sy + sx), tile)
+                for _, _, _, _, sy, sx in _xtap_list(qy, qx)]
+            q0 = jnp.concatenate(q0_blocks, axis=1)  # (81T, 1600)
+            dx_w = mm(q0, w0b_ref[pi])  # (81T, 16)
+            dxf = dxf + _frame_of(dx_w * maskw, tile)
+
+        return xf - rate * (dxf * mask)
+
+    xf = x_ref[:].reshape(FRAME * tile, NX)
+    xf = jax.lax.fori_loop(0, steps, body, xf)
+    _, _, logit = forward(xf)
+    x_out_ref[:] = xf.reshape(FRAME, tile, NX)
+    logit_ref[:] = logit
+
+
+@functools.partial(
+    jax.jit, static_argnames=("steps", "rate", "tile", "interpret", "bf16"))
+def fused_refine_conv28_v2(d_vars: Any, x0: jax.Array, steps: int,
+                           rate: float, tile: int = 32,
+                           interpret: bool = False, bf16: bool = True):
+    """V2 lane-concat big-matmul kernel. Same contract as
+    fused_refine_conv28; `bf16` selects the matmul dtype (f32 for exact
+    parity tests, bf16 for rate)."""
+    mm_dtype = jnp.bfloat16 if bf16 else jnp.float32
+    params = fold_dcgan_d(d_vars)
+    _, _, wd_frame, b0, b1, bd = _prep_weights(params)
+    w0f, w0b, w1f, w1b = _pack_big_weights(params, mm_dtype)
+    b = x0.shape[0]
+    b_pad = ((b + tile - 1) // tile) * tile
+    x16 = s2d4(x0.astype(jnp.float32))
+    x16 = jnp.zeros((b_pad, J, J, NX), jnp.float32).at[:b].set(x16)
+    x_frame = _cells_to_frame(x16)
+
+    mask_grid = jnp.ones((1, J, J, 1), jnp.float32)
+    mask_frame = jnp.broadcast_to(_cells_to_frame(mask_grid),
+                                  (FRAME, tile, 1))
+    wd_tile = jnp.broadcast_to(wd_frame, (FRAME, tile, C2))
+
+    grid = (b_pad // tile,)
+
+    def batch_block(shape):
+        return pl.BlockSpec((FRAME, tile) + shape[2:],
+                            lambda i: (0, i) + (0,) * (len(shape) - 2),
+                            memory_space=pltpu.VMEM)
+
+    order = [(0, 0), (0, 1), (1, 0), (1, 1)]
+    consts = [mask_frame, w0f, w0b, w1f] + [w1b[p] for p in order] + \
+        [wd_tile, b0, b1, bd]
+    const_specs = [pl.BlockSpec(c.shape, lambda i, n=c.ndim: (0,) * n,
+                                memory_space=pltpu.VMEM) for c in consts]
+    kernel = functools.partial(_refine_kernel_v2, steps, rate, tile,
+                               mm_dtype)
+    x_out, logits = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[batch_block(x_frame.shape)] + const_specs,
+        out_specs=(
+            batch_block((FRAME, tile, NX)),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((FRAME, b_pad, NX), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, 1), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x_frame, *consts)
     return d2s4(_frame_to_cells(x_out)[:b]), logits[:b, 0]
 
 
