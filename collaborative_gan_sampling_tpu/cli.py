@@ -116,10 +116,11 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.command == "sweep":
-        # BASELINE config 5: refinement-depth sweep k=1..50, data-parallel.
-        out = exp.sweep(state, sweep_steps,
-                        method=args.method or "refinement")
-        print(json.dumps(out))
+        # BASELINE config 5: refinement-depth sweep k=1..50, data-parallel;
+        # also reports the auto-selected best depth (min FID / mode-KL).
+        best_k, out = exp.select_k(state, sweep_steps,
+                                   method=args.method or "refinement")
+        print(json.dumps({"best_k": best_k, "sweep": out}))
         return 0
 
     raise AssertionError(args.command)

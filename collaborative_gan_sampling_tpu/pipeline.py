@@ -447,6 +447,21 @@ class Experiment:
         return {"trajectories": traj_path, "overview": overview_path,
                 "gif": gif_path}
 
+    def select_k(self, state: TrainState, ks: list[int] | None = None,
+                 method: str = "refinement",
+                 metric: str | None = None) -> tuple[int, dict[int, dict]]:
+        """Auto-select the refinement depth K by validation metric.
+
+        The K-sweep shows a per-checkpoint optimum (BASELINE.md): too few
+        steps under-refine, too many over-refine. Runs `sweep` over `ks`
+        (default 1..50 log-spaced) and returns (best_k, full table), where
+        best minimizes FID (images) or mode-KL (2D)."""
+        ks = ks or [1, 2, 5, 10, 20, 50]
+        metric = metric or ("kl" if self.is_2d else "fid")
+        table = self.sweep(state, ks, method=method)
+        best_k = min(table, key=lambda k: table[k][metric])
+        return best_k, table
+
     # -- benchmark matrix ---------------------------------------------------
 
     def benchmark(self, state: TrainState,

@@ -191,6 +191,15 @@ def test_sweep(tmp_path):
         assert np.isfinite(row["pct_hq"])
 
 
+def test_select_k(tmp_path):
+    cfg = _tiny_toy_cfg(tmp_path / "run")
+    exp = Experiment(cfg, echo_metrics=False)
+    state = exp.train()
+    best_k, table = exp.select_k(state, ks=[1, 4])
+    assert best_k in (1, 4)
+    assert table[best_k]["kl"] == min(r["kl"] for r in table.values())
+
+
 def test_cli_presets(capsys):
     assert cli_main(["presets"]) == 0
     names = json.loads(capsys.readouterr().out.strip())
