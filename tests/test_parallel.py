@@ -113,3 +113,18 @@ def test_sampling_under_mesh_matches_single_device():
 def test_mesh_size_request():
     mesh = make_mesh(4)
     assert mesh.devices.shape == (4,)
+
+
+def test_dryrun_multichip_self_provisions(tmp_path):
+    """VERDICT r1 item 1: the driver's dryrun must self-provision a virtual
+    CPU mesh when the host has fewer devices than requested (the real-TPU
+    host has one chip). Exercise the subprocess re-exec path directly."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "_graft_entry_test", os.path.join(repo, "__graft_entry__.py"))
+    ge = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ge)
+    ge._reexec_on_virtual_mesh(2)  # raises on nonzero subprocess rc
