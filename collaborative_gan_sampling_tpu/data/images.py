@@ -296,6 +296,12 @@ def load_image_dataset(cfg: DataConfig, image_size: int | None = None,
         images = images[:max_items]
         if labels is not None:
             labels = labels[:max_items]
+        # idx/CIFAR files come at their native resolution; honor a
+        # model.image_size override by resizing on device (the folder path
+        # already resizes inside _load_image_folder).
+        if images.shape[1] != size or images.shape[2] != size:
+            images = np.asarray(jax.device_get(
+                _center_crop_resize(np.asarray(images), 0, size)))
         return ImageDataset(images=jnp.asarray(images),
                             labels=None if labels is None else jnp.asarray(labels),
                             name=name, procedural=False)

@@ -47,7 +47,10 @@ def _round_up(x: int, m: int) -> int:
 def _mlp_params_from_dvars(d_vars: Any) -> list[tuple[jax.Array, jax.Array]]:
     """Extract ordered (kernel, bias) pairs from MLPDiscriminator variables."""
     params = d_vars["params"]
-    layers = sorted(k for k in params if k.startswith("fc"))
+    # Sort numerically: lexicographic order would put 'fc10' before 'fc2'
+    # and silently reorder weights for discriminators with >=10 hidden layers.
+    layers = sorted((k for k in params if k.startswith("fc")),
+                    key=lambda s: int(s[2:]))
     out = [(params[k]["kernel"], params[k]["bias"]) for k in layers]
     out.append((params["out"]["kernel"], params["out"]["bias"]))
     return out

@@ -305,9 +305,14 @@ def _sample_collab(bundle, g_vars, d_vars, cfg, key, data_fn, mesh):
 
             if cfg.shape_every > 0:
                 def do_shape(st):
-                    x_real, labels_r = data_fn(k_real, cfg.batch_size)
-                    x_real = constrain_batch(mesh, x_real)
-                    st, loss = shape_step(st, x_real, x, labels_r, labels)
+                    # cfg.shaping_steps D updates per shaping event, each on
+                    # a fresh real batch (static unroll inside the scan body).
+                    loss = jnp.float32(0.0)
+                    for j in range(max(1, cfg.shaping_steps)):
+                        x_real, labels_r = data_fn(
+                            jax.random.fold_in(k_real, j), cfg.batch_size)
+                        x_real = constrain_batch(mesh, x_real)
+                        st, loss = shape_step(st, x_real, x, labels_r, labels)
                     return st, loss
 
                 shaping_state, shape_loss = jax.lax.cond(

@@ -198,15 +198,6 @@ def make_train_chunk(bundle: GANBundle, cfg: TrainConfig, data_fn: DataFn,
         x_fake, g_pull, g_upd = jax.vjp(g_fwd, state.g_vars["params"],
                                         has_aux=True)
 
-        def d_fwd(d_params, x):
-            d_vars = _with_params(state.d_vars, d_params)
-            logits, upd = bundle.discriminate(d_vars, x, labels_f,
-                                              train=True)
-            return logits, upd
-
-        lf, d_pull, d_upd = jax.vjp(d_fwd, state.d_vars["params"], x_fake,
-                                    has_aux=True)
-
         def d_real_loss(d_params):
             d_vars = _with_params(state.d_vars, d_params)
             lr, upd = bundle.discriminate(d_vars, x_real, labels_r,
@@ -215,6 +206,20 @@ def make_train_chunk(bundle: GANBundle, cfg: TrainConfig, data_fn: DataFn,
 
         (loss_real, (d_upd_r, lr)), d_grads_real = jax.value_and_grad(
             d_real_loss, has_aux=True)(state.d_vars["params"])
+
+        # Fake pass runs on the post-real-pass BN stats so the running
+        # averages thread real-then-fake exactly as d_update's loss_fn does
+        # (the fake-pass stat update below subsumes the real-pass one).
+        d_vars_r = _merge_stats(state.d_vars, d_upd_r)
+
+        def d_fwd(d_params, x):
+            d_vars = _with_params(d_vars_r, d_params)
+            logits, upd = bundle.discriminate(d_vars, x, labels_f,
+                                              train=True)
+            return logits, upd
+
+        lf, d_pull, d_upd = jax.vjp(d_fwd, state.d_vars["params"], x_fake,
+                                    has_aux=True)
 
         inv_b = 1.0 / lf.shape[0]
         cot_d = jax.nn.sigmoid(lf) * inv_b  # d mean softplus(lf) / d lf

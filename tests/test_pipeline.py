@@ -204,3 +204,44 @@ def test_cli_presets(capsys):
     assert cli_main(["presets"]) == 0
     names = json.loads(capsys.readouterr().out.strip())
     assert "toy2d" in names and "imagenet64" in names
+
+
+def test_fid_newton_schulz_config_is_wired(tmp_path, monkeypatch):
+    """eval.newton_schulz_iters > 0 must dispatch fid_of_samples to the
+    on-device all-matmul Frechet path (round-1 advisor: the field was
+    silently ignored). Numerical agreement of Newton-Schulz itself is
+    covered in test_fid.py; rank-deficient tiny-test covariances are outside
+    its domain, so here we assert the dispatch, not the value."""
+    import dataclasses
+
+    from collaborative_gan_sampling_tpu.evals import fid as fid_mod
+
+    cfg = _tiny_image_cfg(tmp_path / "nsrun")
+    cfg = dataclasses.replace(cfg, eval=dataclasses.replace(
+        cfg.eval, newton_schulz_iters=7))
+    exp = Experiment(cfg, echo_metrics=False)
+    state = exp.train()
+    res = exp.sample(state, method="standard")
+
+    seen_iters = []
+    orig = fid_mod.frechet_distance
+
+    def spy(a, b, newton_schulz_iters=0):
+        seen_iters.append(newton_schulz_iters)
+        return orig(a, b, newton_schulz_iters)
+
+    monkeypatch.setattr(fid_mod, "frechet_distance", spy)
+    out = exp.fid_of_samples(res.samples)
+    assert isinstance(out, float)
+    assert seen_iters == [7]
+
+
+def test_select_hparams_joint_grid(tmp_path):
+    cfg = _tiny_toy_cfg(tmp_path / "run")
+    exp = Experiment(cfg, echo_metrics=False)
+    state = exp.train()
+    (best_k, best_rate), table = exp.select_hparams(
+        state, ks=[1, 3], rates=[0.05, 0.1])
+    assert (best_k, best_rate) in table
+    assert len(table) == 4
+    assert all(np.isfinite(m["kl"]) for m in table.values())

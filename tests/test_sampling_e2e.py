@@ -68,7 +68,10 @@ def test_refinement_improves_hq(trained_toy):
                  method="refinement", data_fn=data_fn)
     m_std = metrics_2d(std.samples, spec)
     m_ref = metrics_2d(ref.samples, spec)
-    assert float(m_ref["pct_hq"]) > float(m_std["pct_hq"]) - 0.01
+    # Strict: refinement must actually improve %HQ at this imperfect
+    # checkpoint (the 5-seed study in runs/toy_seed_robustness.json shows a
+    # ~6-10 point margin; 2 points is far outside seed noise).
+    assert float(m_ref["pct_hq"]) >= float(m_std["pct_hq"]) + 0.02
 
 
 def test_collab_beats_standard(trained_toy):
@@ -116,3 +119,13 @@ def test_sampling_deterministic_given_key(trained_toy):
                 jax.random.PRNGKey(6), method="refinement", data_fn=data_fn)
     np.testing.assert_array_equal(np.asarray(r1.samples),
                                   np.asarray(r2.samples))
+
+
+def test_collab_shaping_steps_config(trained_toy):
+    """refine.shaping_steps D updates happen per shaping event (the config
+    field is wired, not silently ignored — round-1 advisor finding)."""
+    bundle, state, spec, data_fn = trained_toy
+    rcfg = dataclasses.replace(RCFG, shaping_steps=3)
+    res = sample(bundle, state.g_vars, state.d_vars, rcfg,
+                 jax.random.PRNGKey(7), method="collab", data_fn=data_fn)
+    assert int(res.aux["shaping_steps_done"]) == 3 * RCFG.num_batches
