@@ -138,3 +138,37 @@ def test_shaping_step_improves_d_on_refined_fakes():
         losses.append(float(loss))
     assert losses[-1] < losses[0]  # D separates real from (fixed) fakes
     assert int(sstate.step) == 30
+
+
+def test_checkpoint_config_mismatch_error(tmp_path):
+    """Restoring under a changed ModelConfig raises the friendly error
+    (VERDICT round 1 weak item 8) instead of an opaque flax shape error."""
+    from collaborative_gan_sampling_tpu.config import get_preset
+    from collaborative_gan_sampling_tpu.utils.checkpoint import (
+        ConfigMismatchError,
+        saved_config,
+    )
+
+    cfg = get_preset("toy2d")
+    bundle, tcfg, data_fn = _toy_setup()
+    state = create_train_state(bundle, tcfg, jax.random.PRNGKey(0))
+    d = os.path.join(tmp_path, "c")
+    save_checkpoint(d, 0, state, config=cfg)
+    assert saved_config(d)["model"]["kind"] == "mlp"
+    path = latest_checkpoint(d)
+
+    # Same config restores fine.
+    restore_checkpoint(path, target=state, config=cfg)
+
+    changed = cfg.replace(model=dataclasses.replace(cfg.model, d_hidden=999))
+    try:
+        restore_checkpoint(path, target=state, config=changed)
+    except ConfigMismatchError as e:
+        assert "d_hidden" in str(e)
+    else:
+        raise AssertionError("expected ConfigMismatchError")
+
+    # Checkpoints written without a config stay restorable with any config.
+    d2 = os.path.join(tmp_path, "c2")
+    save_checkpoint(d2, 0, state)
+    restore_checkpoint(latest_checkpoint(d2), target=state, config=changed)
