@@ -11,8 +11,10 @@ weights from a local file when one exists:
   (the ordering standard < refined that the benchmark needs); absolute values
   are NOT comparable to Inception-FID numbers, and outputs are labelled
   ``fid/random_conv`` to make that explicit.
-* ``inception:<path>`` — msgpack'd Flax params for an Inception-style net
-  (hook for when weights are obtainable; raises a clear error otherwise).
+* ``inception:<path>`` — the REAL Inception-v3 pool3 architecture in Flax
+  (evals/inception.py) loading msgpack'd variables from <path>; pretrained
+  torchvision/pytorch-fid weights convert via params_from_torch_state_dict,
+  making reference-comparable FID a config switch once weights exist.
 
 The FID *pipeline* (moments + Frechet distance) is feature-net agnostic and
 is validated against closed-form Gaussians in tests, so swapping the feature
@@ -208,11 +210,22 @@ def make_feature_fn(spec: str, image_shape: tuple[int, int, int],
 
         return feature_fn, "random_conv"
     if spec.startswith("inception:"):
+        # Real Flax Inception-v3 pool3 (evals/inception.py): msgpack'd
+        # variables at <path>, e.g. converted from a pytorch-fid state dict
+        # via params_from_torch_state_dict. Reference-comparable FID.
+        import os
+
+        from collaborative_gan_sampling_tpu.evals.inception import (
+            make_inception_feature_fn,
+        )
+
         path = spec.split(":", 1)[1]
-        raise NotImplementedError(
-            f"Inception feature weights at {path!r}: loading a pretrained "
-            "Inception-v3 requires weight files that are not obtainable in "
-            "this offline environment; use 'random_conv' (relative "
-            "comparisons) or provide a Flax-format checkpoint and extend "
-            "make_feature_fn.")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"Inception weight file {path!r} not found; produce one with "
+                "evals.inception.save_inception_params (from "
+                "params_from_torch_state_dict for pretrained torchvision/"
+                "pytorch-fid weights, or init_inception_variables for "
+                "random-init smoke runs)")
+        return make_inception_feature_fn(path), "inception_v3"
     raise ValueError(f"unknown feature spec {spec!r}")

@@ -1,0 +1,359 @@
+"""Flax Inception-v3 pool3 feature network for reference-comparable FID (C13).
+
+The reference's FID (``fid.py``, approximate path — SURVEY.md C13) feeds
+samples through the frozen TF Inception-v3 graph and takes the 2048-d
+``pool_3`` activations. That graph is downloaded at runtime; this offline
+environment cannot fetch it (SURVEY.md section 7, hard part 1), so round 1
+shipped documented substitutes (trained classifier / RotNet). This module
+closes the remaining gap: the *architecture itself*, in Flax, with a weight
+loader — so the moment real weights materialize (a local file, a populated
+mount), Inception-FID is a ``feature_net: "inception:<path>"`` config away
+with zero build work.
+
+Fidelity notes:
+
+* The block structure and channel plan follow the canonical Inception-v3
+  (Szegedy et al., arXiv:1512.00567) exactly as realized in TF-slim and
+  torchvision — the same architecture family behind the TTUR FID graph:
+  stem (5 convs + 2 maxpools), 3x InceptionA (Mixed_5b-5d), InceptionB
+  (Mixed_6a), 4x InceptionC (Mixed_6b-6e), InceptionD (Mixed_7a),
+  2x InceptionE (Mixed_7b-7c), global average pool -> 2048 features.
+* Every conv is bias-free conv + BatchNorm(eps=1e-3, frozen running stats)
+  + relu, matching torchvision's ``BasicConv2d``.
+* Module/parameter names mirror torchvision's (``Mixed_5b.branch5x5_1`` ...)
+  so ``params_from_torch_state_dict`` is a pure transpose-and-rename: the
+  pytorch-fid weight file is directly convertible.
+* Input preprocessing matches the FID convention: [-1, 1] floats, bilinear
+  resize to 299x299, grayscale replicated to 3 channels.
+
+TPU notes: the whole forward is conv/matmul — XLA tiles it onto the MXU;
+features run under the same jitted streaming-moment pass as every other
+feature net (evals/fid.py), batched and device-resident.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+from flax import serialization
+
+POOL3_DIM = 2048
+INPUT_SIZE = 299
+
+
+class BasicConv(nn.Module):
+    """conv (no bias) -> frozen BatchNorm(eps=1e-3) -> relu."""
+
+    features: int
+    kernel: tuple[int, int]
+    strides: tuple[int, int] = (1, 1)
+    padding: str = "SAME"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.features, self.kernel, strides=self.strides,
+                    padding=self.padding, use_bias=False, dtype=self.dtype,
+                    name="conv")(x)
+        x = nn.BatchNorm(use_running_average=True, epsilon=1e-3,
+                         dtype=self.dtype, name="bn")(x)
+        return nn.relu(x)
+
+
+def _avg_pool_3x3_same(x):
+    return nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME")
+
+
+def _max_pool_3x3_s2(x):
+    return nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+
+
+class InceptionA(nn.Module):
+    pool_features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = self.dtype
+        b1 = BasicConv(64, (1, 1), dtype=d, name="branch1x1")(x)
+        b5 = BasicConv(48, (1, 1), dtype=d, name="branch5x5_1")(x)
+        b5 = BasicConv(64, (5, 5), dtype=d, name="branch5x5_2")(b5)
+        b3 = BasicConv(64, (1, 1), dtype=d, name="branch3x3dbl_1")(x)
+        b3 = BasicConv(96, (3, 3), dtype=d, name="branch3x3dbl_2")(b3)
+        b3 = BasicConv(96, (3, 3), dtype=d, name="branch3x3dbl_3")(b3)
+        bp = BasicConv(self.pool_features, (1, 1), dtype=d,
+                       name="branch_pool")(_avg_pool_3x3_same(x))
+        return jnp.concatenate([b1, b5, b3, bp], axis=-1)
+
+
+class InceptionB(nn.Module):
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = self.dtype
+        b3 = BasicConv(384, (3, 3), strides=(2, 2), padding="VALID",
+                       dtype=d, name="branch3x3")(x)
+        bd = BasicConv(64, (1, 1), dtype=d, name="branch3x3dbl_1")(x)
+        bd = BasicConv(96, (3, 3), dtype=d, name="branch3x3dbl_2")(bd)
+        bd = BasicConv(96, (3, 3), strides=(2, 2), padding="VALID",
+                       dtype=d, name="branch3x3dbl_3")(bd)
+        return jnp.concatenate([b3, bd, _max_pool_3x3_s2(x)], axis=-1)
+
+
+class InceptionC(nn.Module):
+    channels_7x7: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d, c7 = self.dtype, self.channels_7x7
+        b1 = BasicConv(192, (1, 1), dtype=d, name="branch1x1")(x)
+        b7 = BasicConv(c7, (1, 1), dtype=d, name="branch7x7_1")(x)
+        b7 = BasicConv(c7, (1, 7), dtype=d, name="branch7x7_2")(b7)
+        b7 = BasicConv(192, (7, 1), dtype=d, name="branch7x7_3")(b7)
+        bd = BasicConv(c7, (1, 1), dtype=d, name="branch7x7dbl_1")(x)
+        bd = BasicConv(c7, (7, 1), dtype=d, name="branch7x7dbl_2")(bd)
+        bd = BasicConv(c7, (1, 7), dtype=d, name="branch7x7dbl_3")(bd)
+        bd = BasicConv(c7, (7, 1), dtype=d, name="branch7x7dbl_4")(bd)
+        bd = BasicConv(192, (1, 7), dtype=d, name="branch7x7dbl_5")(bd)
+        bp = BasicConv(192, (1, 1), dtype=d,
+                       name="branch_pool")(_avg_pool_3x3_same(x))
+        return jnp.concatenate([b1, b7, bd, bp], axis=-1)
+
+
+class InceptionD(nn.Module):
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = self.dtype
+        b3 = BasicConv(192, (1, 1), dtype=d, name="branch3x3_1")(x)
+        b3 = BasicConv(320, (3, 3), strides=(2, 2), padding="VALID",
+                       dtype=d, name="branch3x3_2")(b3)
+        b7 = BasicConv(192, (1, 1), dtype=d, name="branch7x7x3_1")(x)
+        b7 = BasicConv(192, (1, 7), dtype=d, name="branch7x7x3_2")(b7)
+        b7 = BasicConv(192, (7, 1), dtype=d, name="branch7x7x3_3")(b7)
+        b7 = BasicConv(192, (3, 3), strides=(2, 2), padding="VALID",
+                       dtype=d, name="branch7x7x3_4")(b7)
+        return jnp.concatenate([b3, b7, _max_pool_3x3_s2(x)], axis=-1)
+
+
+class InceptionE(nn.Module):
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = self.dtype
+        b1 = BasicConv(320, (1, 1), dtype=d, name="branch1x1")(x)
+        b3 = BasicConv(384, (1, 1), dtype=d, name="branch3x3_1")(x)
+        b3 = jnp.concatenate([
+            BasicConv(384, (1, 3), dtype=d, name="branch3x3_2a")(b3),
+            BasicConv(384, (3, 1), dtype=d, name="branch3x3_2b")(b3),
+        ], axis=-1)
+        bd = BasicConv(448, (1, 1), dtype=d, name="branch3x3dbl_1")(x)
+        bd = BasicConv(384, (3, 3), dtype=d, name="branch3x3dbl_2")(bd)
+        bd = jnp.concatenate([
+            BasicConv(384, (1, 3), dtype=d, name="branch3x3dbl_3a")(bd),
+            BasicConv(384, (3, 1), dtype=d, name="branch3x3dbl_3b")(bd),
+        ], axis=-1)
+        bp = BasicConv(192, (1, 1), dtype=d,
+                       name="branch_pool")(_avg_pool_3x3_same(x))
+        return jnp.concatenate([b1, b3, bd, bp], axis=-1)
+
+
+class InceptionV3Features(nn.Module):
+    """Inception-v3 through global average pool: (B,299,299,3) -> (B,2048)."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = self.dtype
+        x = x.astype(d)
+        x = BasicConv(32, (3, 3), strides=(2, 2), padding="VALID",
+                      dtype=d, name="Conv2d_1a_3x3")(x)
+        x = BasicConv(32, (3, 3), padding="VALID", dtype=d,
+                      name="Conv2d_2a_3x3")(x)
+        x = BasicConv(64, (3, 3), dtype=d, name="Conv2d_2b_3x3")(x)
+        x = _max_pool_3x3_s2(x)
+        x = BasicConv(80, (1, 1), padding="VALID", dtype=d,
+                      name="Conv2d_3b_1x1")(x)
+        x = BasicConv(192, (3, 3), padding="VALID", dtype=d,
+                      name="Conv2d_4a_3x3")(x)
+        x = _max_pool_3x3_s2(x)
+        x = InceptionA(32, dtype=d, name="Mixed_5b")(x)
+        x = InceptionA(64, dtype=d, name="Mixed_5c")(x)
+        x = InceptionA(64, dtype=d, name="Mixed_5d")(x)
+        x = InceptionB(dtype=d, name="Mixed_6a")(x)
+        x = InceptionC(128, dtype=d, name="Mixed_6b")(x)
+        x = InceptionC(160, dtype=d, name="Mixed_6c")(x)
+        x = InceptionC(160, dtype=d, name="Mixed_6d")(x)
+        x = InceptionC(192, dtype=d, name="Mixed_6e")(x)
+        x = InceptionD(dtype=d, name="Mixed_7a")(x)
+        x = InceptionE(dtype=d, name="Mixed_7b")(x)
+        x = InceptionE(dtype=d, name="Mixed_7c")(x)
+        return jnp.mean(x, axis=(1, 2)).astype(jnp.float32)  # pool3
+
+
+# ---------------------------------------------------------------------------
+# Preprocessing, init, save/load
+# ---------------------------------------------------------------------------
+
+
+def preprocess_for_inception(x: jax.Array) -> jax.Array:
+    """[-1,1] images (B,H,W,C) -> (B,299,299,3): replicate gray channels,
+    bilinear-resize (the FID convention for sub-299 inputs)."""
+    if x.ndim != 4:
+        raise ValueError(f"expected (B,H,W,C) images, got {x.shape}")
+    if x.shape[-1] == 1:
+        x = jnp.tile(x, (1, 1, 1, 3))
+    if x.shape[1] != INPUT_SIZE or x.shape[2] != INPUT_SIZE:
+        x = jax.image.resize(
+            x, (x.shape[0], INPUT_SIZE, INPUT_SIZE, 3), "bilinear")
+    return x
+
+
+def init_inception_variables(key: jax.Array | int = 0) -> dict:
+    """Randomly-initialized variables with the exact canonical tree
+    (params + batch_stats). Useful for tests and shape validation."""
+    if isinstance(key, int):
+        key = jax.random.PRNGKey(key)
+    return InceptionV3Features().init(
+        key, jnp.zeros((1, INPUT_SIZE, INPUT_SIZE, 3), jnp.float32))
+
+
+def save_inception_params(path: str, variables: Any) -> str:
+    """Msgpack-serialize Inception variables (atomic write)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    blob = serialization.msgpack_serialize(
+        serialization.to_state_dict(jax.device_get(variables)))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(blob)
+    os.replace(tmp, path)
+    return path
+
+
+def load_inception_variables(path: str) -> dict:
+    """Load msgpack'd variables, validating the tree against the canonical
+    architecture (clear error on mismatch, not a deep flax shape error)."""
+    with open(path, "rb") as fh:
+        raw = serialization.msgpack_restore(fh.read())
+    template = jax.eval_shape(
+        lambda: InceptionV3Features().init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, INPUT_SIZE, INPUT_SIZE, 3), jnp.float32)))
+    template_sd = serialization.to_state_dict(template)
+    _validate_tree(template_sd, raw, path)
+    return serialization.from_state_dict(template, raw)
+
+
+def _validate_tree(template: Any, got: Any, path: str, prefix: str = ""):
+    if isinstance(template, Mapping):
+        if not isinstance(got, Mapping):
+            raise ValueError(
+                f"{path}: expected a dict at {prefix or '<root>'}, got "
+                f"{type(got).__name__}")
+        missing = sorted(set(template) - set(got))
+        extra = sorted(set(got) - set(template))
+        if missing or extra:
+            raise ValueError(
+                f"{path}: parameter tree mismatch at {prefix or '<root>'} — "
+                f"missing {missing[:4]}, unexpected {extra[:4]}")
+        for k in template:
+            _validate_tree(template[k], got[k], path, f"{prefix}{k}/")
+    else:
+        want = tuple(template.shape)
+        have = tuple(np.shape(got))
+        if want != have:
+            raise ValueError(
+                f"{path}: shape mismatch at {prefix[:-1]}: expected {want}, "
+                f"got {have}")
+
+
+def make_inception_feature_fn(path: str):
+    """feature_fn(x[-1,1] (B,H,W,C)) -> (B,2048) pool3 activations."""
+    variables = load_inception_variables(path)
+    module = InceptionV3Features()
+
+    def feature_fn(x: jax.Array) -> jax.Array:
+        return module.apply(variables, preprocess_for_inception(x))
+
+    return feature_fn
+
+
+# ---------------------------------------------------------------------------
+# torchvision / pytorch-fid weight conversion
+# ---------------------------------------------------------------------------
+
+_STEM = ["Conv2d_1a_3x3", "Conv2d_2a_3x3", "Conv2d_2b_3x3", "Conv2d_3b_1x1",
+         "Conv2d_4a_3x3"]
+_BLOCKS = {
+    "Mixed_5b": ["branch1x1", "branch5x5_1", "branch5x5_2", "branch3x3dbl_1",
+                 "branch3x3dbl_2", "branch3x3dbl_3", "branch_pool"],
+    "Mixed_6a": ["branch3x3", "branch3x3dbl_1", "branch3x3dbl_2",
+                 "branch3x3dbl_3"],
+    "Mixed_6b": ["branch1x1", "branch7x7_1", "branch7x7_2", "branch7x7_3",
+                 "branch7x7dbl_1", "branch7x7dbl_2", "branch7x7dbl_3",
+                 "branch7x7dbl_4", "branch7x7dbl_5", "branch_pool"],
+    "Mixed_7a": ["branch3x3_1", "branch3x3_2", "branch7x7x3_1",
+                 "branch7x7x3_2", "branch7x7x3_3", "branch7x7x3_4"],
+    "Mixed_7b": ["branch1x1", "branch3x3_1", "branch3x3_2a", "branch3x3_2b",
+                 "branch3x3dbl_1", "branch3x3dbl_2", "branch3x3dbl_3a",
+                 "branch3x3dbl_3b", "branch_pool"],
+}
+_BLOCKS["Mixed_5c"] = _BLOCKS["Mixed_5d"] = _BLOCKS["Mixed_5b"]
+_BLOCKS["Mixed_6c"] = _BLOCKS["Mixed_6d"] = _BLOCKS["Mixed_6e"] = \
+    _BLOCKS["Mixed_6b"]
+_BLOCKS["Mixed_7c"] = _BLOCKS["Mixed_7b"]
+
+
+def conversion_layer_names() -> list[tuple[str, str]]:
+    """[(torch module prefix, flax module path)] for every BasicConv."""
+    out = [(name, name) for name in _STEM]
+    for block in (["Mixed_5b", "Mixed_5c", "Mixed_5d", "Mixed_6a", "Mixed_6b",
+                   "Mixed_6c", "Mixed_6d", "Mixed_6e", "Mixed_7a", "Mixed_7b",
+                   "Mixed_7c"]):
+        for branch in _BLOCKS[block]:
+            out.append((f"{block}.{branch}", f"{block}/{branch}"))
+    return out
+
+
+def params_from_torch_state_dict(sd: Mapping[str, Any]) -> dict:
+    """Convert a torchvision/pytorch-fid Inception-v3 state dict (any mapping
+    of name -> array-like, torch not required) to this module's variables.
+
+    Conv kernels transpose (O,I,H,W) -> (H,W,I,O); BatchNorm weight/bias/
+    running_mean/running_var map to scale/bias/mean/var. fc/AuxLogits entries
+    are ignored (pool3 features stop before them).
+    """
+    params: dict = {}
+    stats: dict = {}
+
+    def put(tree, flax_path, leaf, value):
+        node = tree
+        for part in flax_path.split("/"):
+            node = node.setdefault(part, {})
+        node[leaf] = value
+
+    def arr(v):
+        return np.asarray(getattr(v, "numpy", lambda: v)(), np.float32)
+
+    for torch_prefix, flax_path in conversion_layer_names():
+        w = arr(sd[f"{torch_prefix}.conv.weight"]).transpose(2, 3, 1, 0)
+        put(params, f"{flax_path}/conv", "kernel", jnp.asarray(w))
+        put(params, f"{flax_path}/bn", "scale",
+            jnp.asarray(arr(sd[f"{torch_prefix}.bn.weight"])))
+        put(params, f"{flax_path}/bn", "bias",
+            jnp.asarray(arr(sd[f"{torch_prefix}.bn.bias"])))
+        put(stats, f"{flax_path}/bn", "mean",
+            jnp.asarray(arr(sd[f"{torch_prefix}.bn.running_mean"])))
+        put(stats, f"{flax_path}/bn", "var",
+            jnp.asarray(arr(sd[f"{torch_prefix}.bn.running_var"])))
+    return {"params": params, "batch_stats": stats}
