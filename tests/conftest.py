@@ -19,6 +19,8 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# SURVEY.md section 5.2: internal invariant checking in CI.
+jax.config.update("jax_enable_checks", True)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

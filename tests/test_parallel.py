@@ -128,3 +128,69 @@ def test_dryrun_multichip_self_provisions(tmp_path):
     ge = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(ge)
     ge._reexec_on_virtual_mesh(2)  # raises on nonzero subprocess rc
+
+
+def test_weak_scaling_hlo_contains_allreduce():
+    """VERDICT r1 item 5: weak scaling (fixed per-device batch, n=2,4,8) —
+    the compiled program for the DP train step must contain the all-reduce
+    XLA emits for gradient sync from the sharding annotations (C19)."""
+    per_device = 8
+    base = jax.random.PRNGKey(0)
+    bundle, spec, data_fn = _toy(per_device)
+    for n in (2, 4, 8):
+        mesh = make_mesh(n)
+        tcfg = TrainConfig(batch_size=per_device * n, steps_per_call=1,
+                           d_lr=1e-3, g_lr=1e-3)
+        state = replicate(mesh, create_train_state(bundle, tcfg, base))
+        chunk = make_train_chunk(bundle, tcfg, data_fn, base, mesh=mesh)
+        hlo = chunk.lower(state).compile().as_text()
+        assert "all-reduce" in hlo, (
+            f"no all-reduce in the n={n} DP train-step HLO")
+
+
+def test_shaping_step_hlo_contains_allreduce():
+    """The collab shaping gradient must also sync across chips: lower the
+    shaping step with batch-sharded (real, refined) inputs and check the
+    all-reduce is present."""
+    from functools import partial
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from collaborative_gan_sampling_tpu.training import (
+        create_shaping_state,
+        make_shaping_step,
+    )
+
+    bundle, spec, data_fn = _toy(64)
+    tcfg = TrainConfig(batch_size=64, steps_per_call=1, d_lr=1e-3, g_lr=1e-3)
+    state = create_train_state(bundle, tcfg, jax.random.PRNGKey(0))
+    mesh = make_mesh(8)
+    sh_state, _ = create_shaping_state(state.d_vars, 1e-4)
+    sh_state = replicate(mesh, sh_state)
+    shape_step = make_shaping_step(bundle, 1e-4)
+    bsh = NamedSharding(mesh, P("data", None))
+
+    jitted = jax.jit(lambda st, xr, xf: shape_step(st, xr, xf),
+                     in_shardings=(None, bsh, bsh))
+    x = jnp.zeros((64, 2), jnp.float32)
+    hlo = jitted.lower(sh_state, x, x).compile().as_text()
+    assert "all-reduce" in hlo, "no all-reduce in the shaping-step HLO"
+
+
+def test_train_metric_parity_across_mesh_sizes():
+    """Fixed global batch: the DP train step computes the SAME math at every
+    mesh size (n=1,2,4,8) — sharding is an implementation detail."""
+    bundle, spec, data_fn = _toy(64)
+    tcfg = TrainConfig(batch_size=64, steps_per_call=2, d_lr=1e-3, g_lr=1e-3)
+    base = jax.random.PRNGKey(0)
+
+    losses = {}
+    for n in (1, 2, 4, 8):
+        mesh = make_mesh(n)
+        state = replicate(mesh, create_train_state(bundle, tcfg, base))
+        chunk = make_train_chunk(bundle, tcfg, data_fn, base, mesh=mesh)
+        state, m = chunk(state)
+        losses[n] = (float(m["d_loss"]), float(m["g_loss"]))
+    for n in (2, 4, 8):
+        assert abs(losses[n][0] - losses[1][0]) < 1e-4, losses
+        assert abs(losses[n][1] - losses[1][1]) < 1e-4, losses
