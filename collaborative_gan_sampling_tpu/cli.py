@@ -47,8 +47,8 @@ def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="cgs")
     parser.add_argument("command",
                         choices=["train", "refine", "collab", "benchmark",
-                                 "eval", "sweep", "teaser", "profile",
-                                 "presets"])
+                                 "eval", "sweep", "tune", "teaser",
+                                 "profile", "presets"])
     parser.add_argument("--config", default="toy2d",
                         help=f"preset: {list_presets()}")
     parser.add_argument("--workdir", default="")
@@ -67,10 +67,13 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     sweep_steps = [1, 5, 10, 20, 50]
+    tune_rates = None
     kept = []
     for ov in overrides:
         if ov.startswith("sweep_steps="):
             sweep_steps = [int(s) for s in ov.split("=", 1)[1].split(",")]
+        elif ov.startswith("tune_rates="):
+            tune_rates = [float(s) for s in ov.split("=", 1)[1].split(",")]
         else:
             kept.append(ov)
     cfg = _build_cfg(args, kept)
@@ -121,6 +124,16 @@ def main(argv: list[str] | None = None) -> int:
         best_k, out = exp.select_k(state, sweep_steps,
                                    method=args.method or "refinement")
         print(json.dumps({"best_k": best_k, "sweep": out}))
+        return 0
+
+    if args.command == "tune":
+        # Joint (K, rate) grid (VERDICT r1 item 2): per-checkpoint tuning.
+        (best_k, best_rate), out = exp.select_hparams(
+            state, sweep_steps, tune_rates,
+            method=args.method or "refinement")
+        print(json.dumps({
+            "best_k": best_k, "best_rate": best_rate,
+            "grid": {f"k={k},rate={r}": m for (k, r), m in out.items()}}))
         return 0
 
     raise AssertionError(args.command)
