@@ -65,14 +65,38 @@ def measure_refine_throughput(batch_size: int, steps_k: int,
         float(run(g_vars, d_vars, jax.random.fold_in(key, 100 + r)))
         best = min(best, time.perf_counter() - t0)
     n = batch_size * rounds
+    sps = n / best
     return {
-        "samples_per_sec": n / best,
+        "samples_per_sec": sps,
         "sec_per_batch": best / rounds,
         "batch_size": batch_size,
         "steps_k": steps_k,
         "rounds": rounds,
+        "mfu_pct": round(100.0 * sps * _pipeline_flops_per_sample(steps_k)
+                         / BF16_PEAK_FLOPS, 1),
         "device": str(jax.devices()[0]),
     }
+
+
+# v5e (TPU v5 lite): 197 TFLOP/s bf16 peak per chip.
+BF16_PEAK_FLOPS = 197e12
+
+
+def _pipeline_flops_per_sample(steps_k: int) -> float:
+    """Analytic FLOPs/sample of the measured pipeline (MNIST-28 preset:
+    z=100, gf=df=64). XLA's cost_analysis under-reports on this backend, so
+    MFU uses this hand count:
+
+    D fwd:  conv0 14*14*64*25*1*2 + conv1 7*7*128*25*64*2 + dense 6272*2
+            = 20.71 MFLOP
+    refine step = D fwd + input-VJP (equal FLOPs)       = 41.42 MFLOP
+    G:      project 100*6272*2 + bn + deconv0 7*7*128*25*64*2
+            + deconv_out 14*14*64*25*1*2                = 21.33 MFLOP
+    total = G + K * step + final D fwd.
+    """
+    d_fwd = (14 * 14 * 64 * 25 * 1 + 7 * 7 * 128 * 25 * 64 + 6272) * 2
+    g_fwd = (100 * 6272 + 7 * 7 * 128 * 25 * 64 + 14 * 14 * 64 * 25) * 2
+    return g_fwd + (2 * steps_k + 1) * d_fwd
 
 
 def main() -> int:
@@ -82,7 +106,7 @@ def main() -> int:
     )
 
     enable_compile_cache()
-    p.add_argument("--batch", type=int, default=4096)
+    p.add_argument("--batch", type=int, default=2048)
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--no-tf-baseline", action="store_true")
     args = p.parse_args()
@@ -104,6 +128,7 @@ def main() -> int:
         "unit": "samples/sec",
         "vs_baseline": (round(ours["samples_per_sec"] / baseline_sps, 1)
                         if baseline_sps else None),
+        "mfu_pct": ours["mfu_pct"],
     }
     print(json.dumps(result))
     return 0

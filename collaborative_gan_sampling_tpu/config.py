@@ -113,6 +113,8 @@ class RefineConfig:
     # per step (DGflow-style stochastic refinement, arXiv:2012.00780); 0 =
     # deterministic gradient refinement (the reference's scheme)
     use_pallas: bool = True  # fused Pallas fast-path where supported
+    use_s2d: bool = True  # space-to-depth conv-D refine fast path (exact
+    # math in permuted coordinates; ops/refine_s2d.py)
     # DRS rejection (C5):
     gamma: float = 0.0  # static acceptance shift; <0 accepts more
     gamma_percentile: float = 80.0  # dynamic gamma: batch percentile of

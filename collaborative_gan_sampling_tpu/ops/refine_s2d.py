@@ -1,0 +1,158 @@
+"""Space-to-depth fast path for conv-D refinement (XLA, not Pallas).
+
+Why: per-op profiling on the chip (benchmarks/probe_convops.py) shows the
+DCGAN discriminator's FIRST conv — 5x5 stride-2 'SAME' on a 1..3-channel
+image — runs at 2-4% MFU on TPU: with in_c ~ 1 the MXU contraction dimension
+is 25-75 taps and the strided spatial access defeats efficient tiling. Its
+input-VJP (a stride-2 transposed conv back to 1-3 channels) is equally bad.
+Together they burn ~40% of every refinement step for ~3% of its FLOPs
+(MNIST shape: conv0 fwd+vjp 4.2 ms vs conv1 6.1 ms at batch 16k).
+
+Fix: refine in space-to-depth coordinates. s2d(2) maps (B, H, W, C) ->
+(B, H/2, W/2, 4C); the 5x5 stride-2 'SAME' conv becomes an EXACT 3x3
+stride-1 'SAME' conv with 4C input channels (tap/parity mapping from
+ops/conv_refine_ref.TAPS — the same derivation the Pallas V1/V2 kernels
+used, here driving plain XLA convs). The whole K-step scan runs in s2d
+layout — x converts once in, once out — so both the forward conv0 and its
+VJP become dense, stride-1, wider-channel convs that XLA tiles well on the
+MXU. Gradient descent in a permuted coordinate system is the same descent:
+s2d is a permutation, and per-sample L2 clipping is permutation-invariant.
+
+Every layer except conv0 reuses the *flax module* with the original param
+subtree, so numerics match bundle.discriminate exactly up to conv0's
+contraction reassociation; the scan path (sampling/refine.py) remains the
+parity oracle (tests/test_refine_s2d.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from collaborative_gan_sampling_tpu.ops.conv_refine_ref import (
+    TAPS,
+    depth_to_space,
+    space_to_depth,
+)
+from collaborative_gan_sampling_tpu.ops.nn import dcgan_kernel_init, lrelu
+
+
+def conv0_kernel_to_s2d(w: jax.Array) -> jax.Array:
+    """(5, 5, C, F) stride-2 kernel -> (3, 3, 4C, F) stride-1 kernel.
+
+    s2d channel layout: X[..., (py*2+px)*C + c] = x[..., 2j+py, 2i+px, c];
+    tap (dy, dx) of the stride-2 conv reads parity (py, px) at cell shift
+    (sy, sx) per TAPS, i.e. kernel position (sy+1, sx+1) of a 3x3 SAME conv.
+    """
+    k, _, c, f = w.shape
+    assert k == 5, f"s2d mapping is derived for 5x5 kernels, got {k}"
+    out = jnp.zeros((3, 3, 4, c, f), w.dtype)
+    for dy, py, sy in TAPS:
+        for dx, px, sx in TAPS:
+            out = out.at[sy + 1, sx + 1, py * 2 + px].set(w[dy, dx])
+    return out.reshape(3, 3, 4 * c, f)
+
+
+def make_d_fwd_s2d(d: nn.Module):
+    """Build `fwd(d_vars, x_s2d, labels) -> logits` mirroring
+    DCGANDiscriminator.__call__ (eval mode) with conv0 in s2d space.
+
+    All layers after conv0 apply the original flax submodules on their
+    param subtrees — identical numerics, zero duplication of semantics.
+    """
+    from collaborative_gan_sampling_tpu.models.dcgan import (
+        DCGANDiscriminator,
+        num_stages,
+    )
+
+    assert isinstance(d, DCGANDiscriminator)
+    n = num_stages(d.image_size)
+    dtype = d.dtype
+
+    conv_i = [nn.Conv(d.base_filters * (2 ** i), (5, 5), strides=(2, 2),
+                      padding="SAME", kernel_init=dcgan_kernel_init,
+                      dtype=dtype) for i in range(1, n)]
+    bn_i = [nn.BatchNorm(use_running_average=True, momentum=0.9,
+                         epsilon=1e-5, dtype=dtype) for _ in range(1, n)]
+    dense = nn.Dense(1, kernel_init=dcgan_kernel_init, dtype=dtype)
+
+    def fwd(d_vars: Any, x_s2d: jax.Array,
+            labels: jax.Array | None = None) -> jax.Array:
+        p = d_vars["params"]
+        stats = d_vars.get("batch_stats", {})
+        k2 = conv0_kernel_to_s2d(p["conv0"]["kernel"]).astype(dtype)
+        b0 = p["conv0"]["bias"].astype(dtype)
+        h = jax.lax.conv_general_dilated(
+            x_s2d.astype(dtype), k2, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b0
+        h = lrelu(h)
+        for i in range(1, n):
+            h = conv_i[i - 1].apply({"params": p[f"conv{i}"]}, h)
+            h = lrelu(bn_i[i - 1].apply(
+                {"params": p[f"bn{i}"], "batch_stats": stats[f"bn{i}"]}, h))
+        feat = h.reshape(h.shape[0], -1)
+        logit = dense.apply({"params": p["out"]}, feat)[..., 0]
+        if d.num_classes > 0:
+            emb = nn.Embed(d.num_classes, feat.shape[-1],
+                           embedding_init=dcgan_kernel_init,
+                           dtype=dtype).apply(
+                {"params": p["proj_embed"]}, labels)
+            logit = logit + jnp.sum(emb * feat, axis=-1)
+        return logit.astype(jnp.float32)
+
+    return fwd
+
+
+def supports_s2d_refine(bundle, cfg, return_trajectory: bool,
+                        noise: float) -> bool:
+    """Gate: DCGAN D, even image size, 5x5 conv0, no Langevin noise (noise
+    draws would differ in layout from the oracle path), no trajectory
+    (which is pixel-space by contract). Labels and clipping are supported."""
+    from collaborative_gan_sampling_tpu.models.dcgan import (
+        DCGANDiscriminator,
+    )
+
+    if not getattr(cfg, "use_s2d", True) or return_trajectory or noise != 0.0:
+        return False
+    d = getattr(bundle, "d", None)
+    if not isinstance(d, DCGANDiscriminator):
+        return False
+    h, w, _ = bundle.data_shape
+    return h % 2 == 0 and w % 2 == 0
+
+
+def make_refine_s2d(bundle, cfg):
+    """`refine(d_vars, x0, labels) -> (x_K, {'logits'})` — the K-step scan
+    in s2d coordinates. Same math as sampling/refine.py's scan (its parity
+    oracle); conv0 and its VJP run as dense stride-1 convs on 4C channels."""
+    from collaborative_gan_sampling_tpu.sampling.refine import (
+        _clip_per_sample,
+        refine_loss_per_sample,
+    )
+
+    fwd = make_d_fwd_s2d(bundle.d)
+    steps, rate, clip_norm = cfg.steps, cfg.rate, cfg.clip_norm
+
+    def refine(d_vars: Any, x0: jax.Array,
+               labels: jax.Array | None = None):
+        x_s2d = space_to_depth(x0)
+
+        def loss_sum(x):
+            return jnp.sum(refine_loss_per_sample(fwd(d_vars, x, labels)))
+
+        grad_fn = jax.grad(loss_sum)
+
+        def step(x, _):
+            g = grad_fn(x)
+            if clip_norm > 0:
+                g = _clip_per_sample(g, clip_norm)
+            return x - rate * g, None
+
+        x_k, _ = jax.lax.scan(step, x_s2d, None, length=steps)
+        logits = fwd(d_vars, x_k, labels)
+        return depth_to_space(x_k, x0.shape[-1]), {"logits": logits}
+
+    return refine

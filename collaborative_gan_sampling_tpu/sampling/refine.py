@@ -70,6 +70,15 @@ def make_refine_fn(bundle: GANBundle, cfg: RefineConfig,
             if supports_pallas_refine(bundle, cfg, labels):
                 x_k, logits = fused_refine_mlp(d_vars, x0, steps, rate)
                 return x_k, {"logits": logits}
+        # Space-to-depth fast path (conv D): same scan math in s2d
+        # coordinates, turning the 2-4%-MFU first conv + VJP into dense
+        # stride-1 convs (ops/refine_s2d.py; this scan is its oracle).
+        from collaborative_gan_sampling_tpu.ops.refine_s2d import (
+            make_refine_s2d,
+            supports_s2d_refine,
+        )
+        if supports_s2d_refine(bundle, cfg, return_trajectory, noise):
+            return make_refine_s2d(bundle, cfg)(d_vars, x0, labels)
         return _refine_scan(d_vars, x0, labels, key)
 
     def _refine_scan(d_vars: Any, x0: jax.Array,

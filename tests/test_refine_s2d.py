@@ -1,0 +1,116 @@
+"""Parity gates for the space-to-depth conv-D refinement fast path
+(ops/refine_s2d.py) against the lax.scan oracle (sampling/refine.py) —
+SURVEY.md section 4 'kernel parity' discipline, applied to an XLA rewrite."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from collaborative_gan_sampling_tpu.config import ModelConfig, RefineConfig
+from collaborative_gan_sampling_tpu.models import make_bundle
+from collaborative_gan_sampling_tpu.ops.conv_refine_ref import (
+    depth_to_space,
+    space_to_depth,
+)
+from collaborative_gan_sampling_tpu.ops.refine_s2d import (
+    conv0_kernel_to_s2d,
+    make_d_fwd_s2d,
+    make_refine_s2d,
+    supports_s2d_refine,
+)
+from collaborative_gan_sampling_tpu.sampling.refine import make_refine_fn
+
+
+def _setup(size=16, channels=1, num_classes=0, seed=0):
+    mcfg = ModelConfig(kind="dcgan", z_dim=8, image_size=size,
+                       channels=channels, g_base_filters=8, d_base_filters=8,
+                       num_classes=num_classes, compute_dtype="float32")
+    bundle = make_bundle(mcfg)
+    g_vars, d_vars = bundle.init(jax.random.PRNGKey(seed))
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed + 1))
+    x = jax.random.uniform(k1, (8, size, size, channels), minval=-1.0,
+                           maxval=1.0)
+    labels = (jax.random.randint(k2, (8,), 0, num_classes)
+              if num_classes else None)
+    return bundle, d_vars, x, labels
+
+
+def test_s2d_roundtrip():
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 3))
+    np.testing.assert_array_equal(
+        np.asarray(depth_to_space(space_to_depth(x), 3)), np.asarray(x))
+
+
+@pytest.mark.parametrize("size,channels,classes", [
+    (16, 1, 0), (28, 1, 0), (32, 3, 0), (64, 3, 0), (16, 1, 4)])
+def test_d_fwd_s2d_matches_flax(size, channels, classes):
+    bundle, d_vars, x, labels = _setup(size, channels, classes)
+    want = bundle.discriminate(d_vars, x, labels, train=False)
+    fwd = make_d_fwd_s2d(bundle.d)
+    got = fwd(d_vars, space_to_depth(x), labels)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("clip", [0.0, 0.5])
+def test_refine_s2d_matches_scan_oracle(clip):
+    bundle, d_vars, x, labels = _setup(16, 1, 0)
+    rcfg = RefineConfig(steps=5, rate=0.05, clip_norm=clip, use_pallas=False)
+    oracle = jax.jit(make_refine_fn(
+        bundle, dataclasses.replace(rcfg, use_s2d=False)))
+    x_ref, aux_ref = oracle(d_vars, x)
+    fast = jax.jit(make_refine_s2d(bundle, rcfg))
+    x_s2d, aux_s2d = fast(d_vars, x)
+    np.testing.assert_allclose(np.asarray(x_s2d), np.asarray(x_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(aux_s2d["logits"]),
+                               np.asarray(aux_ref["logits"]),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_refine_s2d_conditional_matches_oracle():
+    bundle, d_vars, x, labels = _setup(16, 1, 4)
+    rcfg = RefineConfig(steps=4, rate=0.05, use_pallas=False)
+    oracle = jax.jit(make_refine_fn(
+        bundle, dataclasses.replace(rcfg, use_s2d=False)))
+    x_ref, aux_ref = oracle(d_vars, x, labels)
+    fast = jax.jit(make_refine_s2d(bundle, rcfg))
+    x_s2d, aux_s2d = fast(d_vars, x, labels)
+    np.testing.assert_allclose(np.asarray(x_s2d), np.asarray(x_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_make_refine_fn_dispatches_to_s2d():
+    """With use_s2d on (default), DCGAN refinement must route through the
+    fast path; the gate must refuse trajectories, noise, and MLP models."""
+    bundle, d_vars, x, labels = _setup(16, 1, 0)
+    rcfg = RefineConfig(steps=3, rate=0.05, use_pallas=False)
+    assert supports_s2d_refine(bundle, rcfg, False, 0.0)
+    assert not supports_s2d_refine(bundle, rcfg, True, 0.0)
+    assert not supports_s2d_refine(bundle, rcfg, False, 0.1)
+    assert not supports_s2d_refine(
+        bundle, dataclasses.replace(rcfg, use_s2d=False), False, 0.0)
+
+    from collaborative_gan_sampling_tpu.models import make_bundle as mb
+    mlp = mb(ModelConfig(kind="mlp", compute_dtype="float32"))
+    assert not supports_s2d_refine(mlp, rcfg, False, 0.0)
+
+    # Dispatch happens inside make_refine_fn and agrees with the oracle.
+    fast = jax.jit(make_refine_fn(bundle, rcfg))
+    oracle = jax.jit(make_refine_fn(
+        bundle, dataclasses.replace(rcfg, use_s2d=False)))
+    np.testing.assert_allclose(np.asarray(fast(d_vars, x)[0]),
+                               np.asarray(oracle(d_vars, x)[0]),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_conv0_kernel_mapping_shape():
+    w = jax.random.normal(jax.random.PRNGKey(0), (5, 5, 3, 16))
+    k2 = conv0_kernel_to_s2d(w)
+    assert k2.shape == (3, 3, 12, 16)
+    # Every original tap appears exactly once: total mass preserved.
+    np.testing.assert_allclose(float(jnp.sum(jnp.abs(k2))),
+                               float(jnp.sum(jnp.abs(w))), rtol=1e-6)
