@@ -51,6 +51,19 @@ of 25 shifted windows, M capped at 81*tile=2592 rows by VMEM liveness
 scratch-ref im2col staging area and double-buffered batch tiles; measured
 judgment: not worth it against XLA's implicit-im2col convs at this model
 size. Both kernels stay as validated, tested, gated-off infrastructure.
+
+FORMAL CLOSE (round 2, ROADMAP item 3 / VERDICT r1 item 7): per-op
+profiling on the chip (benchmarks/probe_convops.py) isolated where the
+time actually went — conv1 fwd/VJP already run at 53-57% MFU under XLA
+(little left for a hand kernel to win), while conv0 + its VJP ran at 2-4%
+MFU purely because of the 1-channel stride-2 layout. The layout fix the
+V1/V2 kernels pioneered (tap/parity space-to-depth) applied at the *XLA*
+level (ops/refine_s2d.py) captures the win without any kernel: 225k
+samples/s @ K=10 vs 177k for the plain scan and 54.8k for V2. The V3 items
+named above (scratch-ref im2col staging = XLA's implicit im2col; bigger
+tiles) are therefore subsumed; no further Pallas work is planned for the
+conv path. The MLP-D Pallas kernel (ops/refine_pallas.py) remains the
+production fast path for the synthetic stack.
 """
 
 from __future__ import annotations
