@@ -144,6 +144,10 @@ class EvalConfig:
     # 0 = robust eigh cross term (default); >0 = Newton-Schulz with that
     # many iterations (all-matmul MXU path, needs well-conditioned stats).
     newton_schulz_iters: int = 0
+    # Improved precision/recall (arXiv:1904.06991) sample-pool size per
+    # side; 0 disables. Reported alongside FID by Experiment.evaluate.
+    prd_samples: int = 0
+    prd_k: int = 3  # k-NN manifold neighbourhood size
 
 
 @dataclass(frozen=True)

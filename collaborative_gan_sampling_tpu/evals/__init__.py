@@ -12,3 +12,6 @@ from collaborative_gan_sampling_tpu.evals.fid import (  # noqa: F401
 from collaborative_gan_sampling_tpu.evals.features import (  # noqa: F401
     make_feature_fn,
 )
+from collaborative_gan_sampling_tpu.evals.prd import (  # noqa: F401
+    precision_recall,
+)

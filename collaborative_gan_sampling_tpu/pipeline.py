@@ -366,9 +366,43 @@ class Experiment:
         if self.is_2d:
             return self.evaluate_2d(result)
         self._feature_fn()  # ensure label exists
-        return {"fid": self.fid_of_samples(result.samples, result.accepted),
-                "accept_rate": result.accept_rate,
-                "feature_net": self._feature_label}
+        out = {"fid": self.fid_of_samples(result.samples, result.accepted),
+               "accept_rate": result.accept_rate,
+               "feature_net": self._feature_label}
+        if self.cfg.eval.prd_samples > 0:
+            out.update(self.precision_recall(result))
+        return out
+
+    def precision_recall(self, result: SampleResult,
+                         n: int | None = None) -> dict[str, float]:
+        """Improved precision/recall (arXiv:1904.06991) over the same
+        feature space as FID: precision = realism of accepted samples,
+        recall = coverage of the real distribution (the image-space
+        analogue of the paper's %HQ / mode-coverage pair)."""
+        from collaborative_gan_sampling_tpu.evals.prd import (
+            precision_recall,
+        )
+
+        n = n or self.cfg.eval.prd_samples or 2048
+        feature_fn = self._feature_fn()
+        samples = result.samples
+        if result.accepted is not None:
+            mask = jax.device_get(result.accepted).astype(bool)
+            samples = jax.device_get(samples)[mask]
+        samples = jnp.asarray(samples)[:n]
+        key = step_key(self.base_key, 3, "eval")
+        x_real, _ = self.data_fn(key, n)
+        bs = min(self.cfg.eval.fid_batch_size, samples.shape[0], n)
+
+        def feats_of(x):
+            m = (x.shape[0] // bs) * bs
+            f = jax.lax.map(feature_fn, x[:m].reshape(-1, bs, *x.shape[1:]))
+            return f.reshape(-1, f.shape[-1])
+
+        pr = jax.jit(lambda a, b: precision_recall(
+            feats_of(a), feats_of(b), k=self.cfg.eval.prd_k))(
+            x_real, samples)
+        return {k: float(v) for k, v in pr.items()}
 
     def _training_viz(self, state: TrainState, step: int) -> None:
         """Periodic training visuals (the reference's every-100-steps sample
