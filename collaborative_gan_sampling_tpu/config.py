@@ -127,6 +127,10 @@ class RefineConfig:
     shape_every: int = 1  # shape D every m refined batches (0 = never)
     shaping_steps: int = 1  # D updates per shaping event
     shaping_lr: float = 1e-4
+    shaping_decay: float = 1.0  # lr multiplier per shaping update (<1 =
+    # exponential decay schedule; the paper's 'anneal shaping' variant)
+    shaping_target: float = 0.0  # skip the update when D's real-vs-refined
+    # logit separation is already below this ('shape until target'); 0 = off
     # Sampling volume:
     num_batches: int = 40
     batch_size: int = 256

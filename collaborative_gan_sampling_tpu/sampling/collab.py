@@ -270,8 +270,11 @@ def _sample_collab(bundle, g_vars, d_vars, cfg, key, data_fn, mesh):
     )
 
     refine = make_refine_fn(bundle, cfg)
-    shape_step = make_shaping_step(bundle, cfg.shaping_lr)
-    shaping_state0, _ = create_shaping_state(d_vars, cfg.shaping_lr)
+    shape_step = make_shaping_step(
+        bundle, cfg.shaping_lr, decay=getattr(cfg, "shaping_decay", 1.0),
+        target=getattr(cfg, "shaping_target", 0.0))
+    shaping_state0, _ = create_shaping_state(
+        d_vars, cfg.shaping_lr, decay=getattr(cfg, "shaping_decay", 1.0))
 
     @jax.jit
     def run(g_vars, shaping_state0, key):

@@ -129,3 +129,35 @@ def test_collab_shaping_steps_config(trained_toy):
     res = sample(bundle, state.g_vars, state.d_vars, rcfg,
                  jax.random.PRNGKey(7), method="collab", data_fn=data_fn)
     assert int(res.aux["shaping_steps_done"]) == 3 * RCFG.num_batches
+
+
+def test_collab_shaping_target_stops_updates(trained_toy):
+    """'Shape until target': with an unreachably high separation target the
+    update is skipped every round (step counter stays 0) while sampling
+    still completes; with target off, every round shapes."""
+    bundle, state, spec, data_fn = trained_toy
+    rcfg = dataclasses.replace(RCFG, shaping_target=1e9)
+    res = sample(bundle, state.g_vars, state.d_vars, rcfg,
+                 jax.random.PRNGKey(8), method="collab", data_fn=data_fn)
+    assert int(res.aux["shaping_steps_done"]) == 0
+    before = jax.tree_util.tree_leaves(state.d_vars["params"])
+    after = jax.tree_util.tree_leaves(res.aux["shaped_d_vars"]["params"])
+    assert all(np.allclose(a, b) for a, b in zip(before, after))
+
+
+def test_collab_shaping_decay_shrinks_updates(trained_toy):
+    """shaping_decay < 1: later shaping updates move D less than a no-decay
+    run's (exponential lr schedule is wired through optax)."""
+    bundle, state, spec, data_fn = trained_toy
+
+    def total_update(decay):
+        rcfg = dataclasses.replace(RCFG, shaping_decay=decay, num_batches=8)
+        res = sample(bundle, state.g_vars, state.d_vars, rcfg,
+                     jax.random.PRNGKey(9), method="collab", data_fn=data_fn)
+        shaped = res.aux["shaped_d_vars"]["params"]
+        base = state.d_vars["params"]
+        return sum(float(jnp.sum(jnp.abs(a - b)))
+                   for a, b in zip(jax.tree_util.tree_leaves(shaped),
+                                   jax.tree_util.tree_leaves(base)))
+
+    assert total_update(0.5) < total_update(1.0)
