@@ -44,6 +44,13 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     enable_compile_cache()
+    # Multi-host bootstrap: no-op unless a cluster env is configured
+    # (JAX_COORDINATOR_ADDRESS); see parallel/multihost.py.
+    from collaborative_gan_sampling_tpu.parallel.multihost import (
+        maybe_initialize_distributed,
+    )
+
+    maybe_initialize_distributed()
     parser = argparse.ArgumentParser(prog="cgs")
     parser.add_argument("command",
                         choices=["train", "refine", "collab", "benchmark",

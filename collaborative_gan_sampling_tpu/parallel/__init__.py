@@ -6,3 +6,6 @@ from collaborative_gan_sampling_tpu.parallel.mesh import (  # noqa: F401
     replicated_sharding,
     shard_batch,
 )
+from collaborative_gan_sampling_tpu.parallel.multihost import (  # noqa: F401
+    maybe_initialize_distributed,
+)

@@ -194,3 +194,15 @@ def test_train_metric_parity_across_mesh_sizes():
     for n in (2, 4, 8):
         assert abs(losses[n][0] - losses[1][0]) < 1e-4, losses
         assert abs(losses[n][1] - losses[1][1]) < 1e-4, losses
+
+
+def test_multihost_bootstrap_is_noop_single_host(monkeypatch):
+    """maybe_initialize_distributed must be strictly opt-in: without the
+    coordinator env var it does nothing and returns False."""
+    from collaborative_gan_sampling_tpu.parallel import (
+        maybe_initialize_distributed,
+    )
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    assert maybe_initialize_distributed() is False
+    assert len(jax.devices()) == 8  # backend untouched
