@@ -131,6 +131,9 @@ class RefineConfig:
     # exponential decay schedule; the paper's 'anneal shaping' variant)
     shaping_target: float = 0.0  # skip the update when D's real-vs-refined
     # logit separation is already below this ('shape until target'); 0 = off
+    class_balanced_shaping: bool = True  # conditional models: draw shaping
+    # real batches with the refined batch's labels (within-class signal for
+    # the projection D; see BASELINE.md ImageNet-64 boundary)
     # Sampling volume:
     num_batches: int = 40
     batch_size: int = 256

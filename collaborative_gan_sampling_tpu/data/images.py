@@ -67,10 +67,43 @@ class ImageDataset:
             return imgs, labs
 
         self._sample = _sample
+        self._sample_by_labels = None
+        if labels is not None:
+            # Per-class index table for conditional draws (class-balanced
+            # shaping): row c lists the dataset indices of class c, tiled
+            # cyclically to the max class count so the gather is rectangular.
+            labs_np = np.asarray(jax.device_get(labels))
+            n_classes = int(labs_np.max()) + 1 if labs_np.size else 1
+            per_class = [np.flatnonzero(labs_np == c) for c in range(n_classes)]
+            cap = max(1, max((len(p) for p in per_class), default=1))
+            table = np.zeros((n_classes, cap), np.int32)
+            counts = np.zeros((n_classes,), np.int32)
+            for c, p in enumerate(per_class):
+                if len(p) == 0:
+                    p = np.asarray([0])  # degenerate class: any sample
+                table[c] = np.resize(p, cap)
+                counts[c] = len(p)
+            table_j = jnp.asarray(table)
+            counts_j = jnp.asarray(np.maximum(counts, 1))
+
+            @jax.jit
+            def _by_labels(key, want):
+                r = jax.random.randint(key, want.shape, 0, 1 << 30)
+                idx = table_j[want, r % counts_j[want]]
+                return normalize_images(images[idx]), want
+
+            self._sample_by_labels = _by_labels
 
     def batch(self, key: jax.Array, batch_size: int):
         """(images in [-1,1] float32 (B,H,W,C), labels or None) — on device."""
         return self._sample(key, jnp.zeros((batch_size,), jnp.int32))
+
+    def batch_by_labels(self, key: jax.Array, labels: jax.Array):
+        """Conditional draw: one real sample of the requested class per row
+        (images, labels) — jittable; requires a labelled dataset."""
+        if self._sample_by_labels is None:
+            raise ValueError(f"dataset {self.name!r} has no labels")
+        return self._sample_by_labels(key, labels)
 
 
 def normalize_images(u8: jax.Array) -> jax.Array:

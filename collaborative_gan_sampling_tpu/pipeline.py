@@ -160,9 +160,15 @@ class Experiment:
         d_vars = state.d_vars
         if use_shaped_d:
             d_vars = self.load_shaped_d(template=state.d_vars)
+        cond_fn = None
+        if (self.bundle.conditional
+                and getattr(getattr(self, "dataset", None), "labels", None)
+                is not None):
+            cond_fn = self.dataset.batch_by_labels
         return sample(self.bundle, state.g_vars, d_vars,
                       refine_cfg or self.cfg.refine, key, method=method,
-                      data_fn=self.data_fn, mesh=self.mesh)
+                      data_fn=self.data_fn, mesh=self.mesh,
+                      cond_data_fn=cond_fn)
 
     def fid_refine(self, state: TrainState, key: jax.Array | None = None,
                    steps: int | None = None,

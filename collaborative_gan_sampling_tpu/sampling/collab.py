@@ -73,18 +73,23 @@ class SampleResult(NamedTuple):
 def sample(bundle: GANBundle, g_vars: Any, d_vars: Any, cfg: RefineConfig,
            key: jax.Array, method: str | None = None,
            data_fn: Callable | None = None,
-           mesh: Mesh | None = None) -> SampleResult:
+           mesh: Mesh | None = None,
+           cond_data_fn: Callable | None = None) -> SampleResult:
     """Run a sampling strategy end-to-end. `data_fn(key, n) -> (x, labels)`
-    supplies real data (needed by collab shaping and MH calibration)."""
+    supplies real data (needed by collab shaping and MH calibration);
+    `cond_data_fn(key, labels) -> (x, labels)` optionally supplies
+    class-matched real data for collab's class-balanced shaping."""
     method = method or cfg.method
     if method not in METHODS:
         raise ValueError(f"unknown method {method!r}; have {METHODS}")
+    if method == "collab":
+        return _sample_collab(bundle, g_vars, d_vars, cfg, key, data_fn,
+                              mesh, cond_data_fn=cond_data_fn)
     fn = {
         "standard": _sample_standard,
         "reject": _sample_reject,
         "mhgan": _sample_mhgan,
         "refinement": _sample_refinement,
-        "collab": _sample_collab,
     }[method]
     return fn(bundle, g_vars, d_vars, cfg, key, data_fn, mesh)
 
@@ -261,9 +266,12 @@ def _sample_mhgan(bundle, g_vars, d_vars, cfg, key, data_fn, mesh):
 # ---------------------------------------------------------------------------
 
 
-def _sample_collab(bundle, g_vars, d_vars, cfg, key, data_fn, mesh):
+def _sample_collab(bundle, g_vars, d_vars, cfg, key, data_fn, mesh,
+                   cond_data_fn=None):
     if data_fn is None:
         raise ValueError("collab sampling needs data_fn for D shaping")
+    balanced = (cond_data_fn is not None and bundle.conditional
+                and getattr(cfg, "class_balanced_shaping", True))
     from collaborative_gan_sampling_tpu.training.shaping import (
         create_shaping_state,
         make_shaping_step,
@@ -310,10 +318,19 @@ def _sample_collab(bundle, g_vars, d_vars, cfg, key, data_fn, mesh):
                 def do_shape(st):
                     # cfg.shaping_steps D updates per shaping event, each on
                     # a fresh real batch (static unroll inside the scan body).
+                    # Class-balanced shaping (conditional models): draw the
+                    # real batch with the SAME labels as the refined fakes,
+                    # so the projection D compares within-class — with many
+                    # classes a random real batch shares almost no class
+                    # with the fakes and shaping destabilises D
+                    # (BASELINE.md ImageNet-64 boundary).
                     loss = jnp.float32(0.0)
                     for j in range(max(1, cfg.shaping_steps)):
-                        x_real, labels_r = data_fn(
-                            jax.random.fold_in(k_real, j), cfg.batch_size)
+                        kj = jax.random.fold_in(k_real, j)
+                        if balanced:
+                            x_real, labels_r = cond_data_fn(kj, labels)
+                        else:
+                            x_real, labels_r = data_fn(kj, cfg.batch_size)
                         x_real = constrain_batch(mesh, x_real)
                         st, loss = shape_step(st, x_real, x, labels_r, labels)
                     return st, loss

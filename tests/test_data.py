@@ -93,3 +93,34 @@ def test_procedural_conditional_structure():
         within = np.corrcoef(c0[0].ravel(), c0[1].ravel())[0, 1]
         across = np.corrcoef(c0[0].ravel(), c5[0].ravel())[0, 1]
         assert within > across
+
+
+def test_batch_by_labels_returns_requested_classes():
+    """Conditional draw for class-balanced shaping: each returned image
+    belongs to the requested class (pixel value encodes the class here)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from collaborative_gan_sampling_tpu.data.images import ImageDataset
+
+    n, size = 40, 4
+    labels = jnp.asarray(np.arange(n) % 5, jnp.int32)
+    images = jnp.broadcast_to(
+        (np.arange(n) % 5).astype(np.uint8)[:, None, None, None] * 40,
+        (n, size, size, 1))
+    ds = ImageDataset(images=images, labels=labels, name="test")
+
+    want = jnp.asarray([3, 1, 4, 4, 0, 2], jnp.int32)
+    imgs, got = ds.batch_by_labels(jax.random.PRNGKey(0), want)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # normalize_images maps class c's uint8 value 40c -> 40c/127.5 - 1
+    expect = np.asarray(want, np.float32) * 40 / 127.5 - 1.0
+    np.testing.assert_allclose(np.asarray(imgs[:, 0, 0, 0]), expect,
+                               atol=1e-6)
+
+    import pytest
+
+    ds_unlab = ImageDataset(images=images, labels=None, name="unlab")
+    with pytest.raises(ValueError, match="no labels"):
+        ds_unlab.batch_by_labels(jax.random.PRNGKey(0), want)

@@ -161,3 +161,43 @@ def test_collab_shaping_decay_shrinks_updates(trained_toy):
                                    jax.tree_util.tree_leaves(base)))
 
     assert total_update(0.5) < total_update(1.0)
+
+
+def test_collab_class_balanced_shaping_wiring():
+    """Conditional collab: shaping real batches are drawn with the refined
+    batch's labels when a cond_data_fn is supplied (class-balanced shaping),
+    and fall back to random draws when disabled."""
+    from collaborative_gan_sampling_tpu.data import load_image_dataset
+    from collaborative_gan_sampling_tpu.config import DataConfig
+
+    mcfg = ModelConfig(kind="dcgan", z_dim=8, image_size=16, channels=1,
+                       g_base_filters=8, d_base_filters=8, num_classes=4,
+                       compute_dtype="float32")
+    bundle = make_bundle(mcfg)
+    g_vars, d_vars = bundle.init(jax.random.PRNGKey(0))
+    ds = load_image_dataset(DataConfig(dataset="mnist"), image_size=16,
+                            procedural_n=64)
+
+    def data_fn(key, n):
+        x, labs = ds.batch(key, n)
+        return x, labs % 4
+
+    seen = []
+
+    def cond_fn(key, labels):
+        seen.append(True)
+        x, labs = ds.batch_by_labels(key, labels)
+        return x, labs
+
+    rcfg = RefineConfig(steps=2, rate=0.05, num_batches=2, batch_size=16,
+                        burn_in=16, use_pallas=False)
+    res = sample(bundle, g_vars, d_vars, rcfg, jax.random.PRNGKey(1),
+                 method="collab", data_fn=data_fn, cond_data_fn=cond_fn)
+    assert seen, "cond_data_fn was not used for shaping"
+    assert np.isfinite(np.asarray(res.samples)).all()
+
+    seen.clear()
+    rcfg_off = dataclasses.replace(rcfg, class_balanced_shaping=False)
+    sample(bundle, g_vars, d_vars, rcfg_off, jax.random.PRNGKey(1),
+           method="collab", data_fn=data_fn, cond_data_fn=cond_fn)
+    assert not seen
