@@ -10,6 +10,14 @@ FID features. The margin was calibrated on this exact configuration (collab
 This is the slowest test in the suite (~4 min on 1 CPU core — GAN training
 + feature training + 2 FID evaluations); it is the executable form of the
 framework's central scientific claim, so it earns the time.
+
+NOTE: at this miniature scale the margin is sensitive to the exact config
+(feature_train_steps / fid_num_samples / num_batches change the feature
+space and the shaping trajectory; e.g. 300 feature steps + 6 batches flips
+the ordering). The settings below are calibrated and the whole run is
+deterministic — treat them like a golden file and recalibrate deliberately
+if you change them. The robust, realistic-scale evidence is the TPU
+campaign matrix in BASELINE.md (CelebA 3/3 seeds, CIFAR-10, MNIST).
 """
 
 import dataclasses
