@@ -24,8 +24,6 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
-
 
 def run_checkpoint(preset: str, niters: int, out_dir: str,
                    ks: list[int], rates: list[float]) -> dict:
