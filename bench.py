@@ -38,21 +38,25 @@ def measure_refine_throughput(batch_size: int, steps_k: int,
 
     from collaborative_gan_sampling_tpu.config import get_preset
     from collaborative_gan_sampling_tpu.models import make_bundle
-    from collaborative_gan_sampling_tpu.sampling.refine import make_refine_fn
+    from collaborative_gan_sampling_tpu.sampling.refine import (
+        make_draw_refine_fn,
+    )
 
     cfg = get_preset("mnist")
     rcfg = dataclasses.replace(cfg.refine, steps=steps_k)
     bundle = make_bundle(cfg.model)
     g_vars, d_vars = bundle.init(jax.random.PRNGKey(0))
-    refine = make_refine_fn(bundle, rcfg)
+    # The same z->G->refine unit the production samplers scan over
+    # (sampling/collab.py) — fully fused in s2d coordinates on this config.
+    draw_refine = make_draw_refine_fn(bundle, rcfg)
 
     @jax.jit
     def run(g_vars, d_vars, key):
         def body(acc, i):
-            z = bundle.sample_z(jax.random.fold_in(key, i), batch_size)
-            x0 = bundle.generate(g_vars, z, train=False)
-            x, aux = refine(d_vars, x0)
-            return acc + jnp.sum(x) + jnp.sum(aux["logits"]), None
+            x, _, logits = draw_refine(g_vars, d_vars,
+                                       jax.random.fold_in(key, i),
+                                       batch_size)
+            return acc + jnp.sum(x) + jnp.sum(logits), None
 
         acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(rounds))
         return acc

@@ -106,6 +106,80 @@ def make_d_fwd_s2d(d: nn.Module):
     return fwd
 
 
+# flax ConvTranspose (5x5, stride 2, 'SAME', even sizes) tap map, derived
+# numerically from impulse responses (separable per axis): kernel tap d
+# writes output parity p at input-cell shift s, i.e. s2d output cell oy
+# reads input jy = oy - s through 3x3 kernel row (1 - s).
+DECONV_TAPS = [(0, 1, 1), (1, 0, 1), (2, 1, 0), (3, 0, 0), (4, 1, -1)]
+
+
+def deconv_kernel_to_s2d(w: jax.Array) -> jax.Array:
+    """(5, 5, F, C) stride-2 ConvTranspose kernel -> (3, 3, F, 4C) stride-1
+    conv kernel producing the output directly in s2d layout."""
+    k, _, f, c = w.shape
+    assert k == 5, f"s2d mapping is derived for 5x5 kernels, got {k}"
+    out = jnp.zeros((3, 3, f, 4, c), w.dtype)
+    for dy, py, sy in DECONV_TAPS:
+        for dx, px, sx in DECONV_TAPS:
+            out = out.at[1 - sy, 1 - sx, :, py * 2 + px].set(w[dy, dx])
+    return out.reshape(3, 3, f, 4 * c)
+
+
+def make_g_fwd_s2d(g: nn.Module):
+    """Build `fwd(g_vars, z, labels) -> x_s2d` mirroring DCGANGenerator
+    (eval mode) with the LAST deconv computed directly in s2d output layout
+    — the (H, W, 1..3) transposed conv is the generator's 2-4%-MFU layer,
+    exactly mirroring the discriminator's conv0 pathology."""
+    from collaborative_gan_sampling_tpu.models.dcgan import (
+        DCGANGenerator,
+        num_stages,
+    )
+
+    assert isinstance(g, DCGANGenerator)
+    n = num_stages(g.image_size)
+    s0 = g.image_size // (2 ** n)
+    ch0 = g.base_filters * (2 ** (n - 1))
+    dtype = g.dtype
+
+    dense = nn.Dense(s0 * s0 * ch0, kernel_init=dcgan_kernel_init,
+                     dtype=dtype)
+    deconvs = [nn.ConvTranspose(g.base_filters * (2 ** (n - 2 - i)), (5, 5),
+                                strides=(2, 2), padding="SAME",
+                                kernel_init=dcgan_kernel_init, dtype=dtype)
+               for i in range(n - 1)]
+
+    def bn_apply(p, stats, name, h):
+        return nn.BatchNorm(use_running_average=True, momentum=0.9,
+                            epsilon=1e-5, dtype=dtype).apply(
+            {"params": p[name], "batch_stats": stats[name]}, h)
+
+    def fwd(g_vars: Any, z: jax.Array,
+            labels: jax.Array | None = None) -> jax.Array:
+        p = g_vars["params"]
+        stats = g_vars.get("batch_stats", {})
+        h = z.astype(dtype)
+        if g.num_classes > 0:
+            emb = nn.Embed(g.num_classes, g.label_embed_dim,
+                           embedding_init=dcgan_kernel_init,
+                           dtype=dtype).apply(
+                {"params": p["label_embed"]}, labels)
+            h = jnp.concatenate([h, emb], axis=-1)
+        h = dense.apply({"params": p["project"]}, h)
+        h = h.reshape(h.shape[0], s0, s0, ch0)
+        h = nn.relu(bn_apply(p, stats, "bn_project", h))
+        for i in range(n - 1):
+            h = deconvs[i].apply({"params": p[f"deconv{i}"]}, h)
+            h = nn.relu(bn_apply(p, stats, f"bn{i}", h))
+        k2 = deconv_kernel_to_s2d(p["deconv_out"]["kernel"]).astype(dtype)
+        b = jnp.tile(p["deconv_out"]["bias"].astype(dtype), 4)
+        h = jax.lax.conv_general_dilated(
+            h, k2, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+        return jnp.tanh(h).astype(jnp.float32)
+
+    return fwd
+
+
 def supports_s2d_refine(bundle, cfg, return_trajectory: bool,
                         noise: float) -> bool:
     """Gate: DCGAN D, even image size, 5x5 conv0, no Langevin noise (noise
@@ -124,24 +198,20 @@ def supports_s2d_refine(bundle, cfg, return_trajectory: bool,
     return h % 2 == 0 and w % 2 == 0
 
 
-def make_refine_s2d(bundle, cfg):
-    """`refine(d_vars, x0, labels) -> (x_K, {'logits'})` — the K-step scan
-    in s2d coordinates. Same math as sampling/refine.py's scan (its parity
-    oracle); conv0 and its VJP run as dense stride-1 convs on 4C channels."""
+def _make_s2d_scan(d_fwd, cfg):
+    """`scan(d_vars, x_s2d, labels) -> (x_s2d_K, logits)` — the K-step
+    refinement loop entirely in s2d coordinates."""
     from collaborative_gan_sampling_tpu.sampling.refine import (
         _clip_per_sample,
         refine_loss_per_sample,
     )
 
-    fwd = make_d_fwd_s2d(bundle.d)
     steps, rate, clip_norm = cfg.steps, cfg.rate, cfg.clip_norm
 
-    def refine(d_vars: Any, x0: jax.Array,
-               labels: jax.Array | None = None):
-        x_s2d = space_to_depth(x0)
-
+    def scan(d_vars: Any, x_s2d: jax.Array,
+             labels: jax.Array | None = None):
         def loss_sum(x):
-            return jnp.sum(refine_loss_per_sample(fwd(d_vars, x, labels)))
+            return jnp.sum(refine_loss_per_sample(d_fwd(d_vars, x, labels)))
 
         grad_fn = jax.grad(loss_sum)
 
@@ -152,7 +222,44 @@ def make_refine_s2d(bundle, cfg):
             return x - rate * g, None
 
         x_k, _ = jax.lax.scan(step, x_s2d, None, length=steps)
-        logits = fwd(d_vars, x_k, labels)
+        return x_k, d_fwd(d_vars, x_k, labels)
+
+    return scan
+
+
+def make_refine_s2d(bundle, cfg):
+    """`refine(d_vars, x0, labels) -> (x_K, {'logits'})` — the K-step scan
+    in s2d coordinates. Same math as sampling/refine.py's scan (its parity
+    oracle); conv0 and its VJP run as dense stride-1 convs on 4C channels."""
+    scan = _make_s2d_scan(make_d_fwd_s2d(bundle.d), cfg)
+
+    def refine(d_vars: Any, x0: jax.Array,
+               labels: jax.Array | None = None):
+        x_k, logits = scan(d_vars, space_to_depth(x0), labels)
         return depth_to_space(x_k, x0.shape[-1]), {"logits": logits}
 
     return refine
+
+
+def make_draw_refine_s2d(bundle, cfg, mesh=None):
+    """Fully-fused sampling unit: z -> G (last deconv emits s2d directly)
+    -> K-step s2d refinement -> pixel samples + final logits. No pixel-space
+    round trip anywhere: the generator's worst layer (the 1-3 channel
+    output transposed conv, 41% of G's time at 2-4% MFU) and the
+    discriminator's worst (conv0) both run as dense stride-1 s2d convs."""
+    from collaborative_gan_sampling_tpu.parallel.mesh import constrain_batch
+
+    g_fwd = make_g_fwd_s2d(bundle.g)
+    scan = _make_s2d_scan(make_d_fwd_s2d(bundle.d), cfg)
+    channels = bundle.data_shape[-1]
+
+    def draw_refine(g_vars: Any, d_vars: Any, key: jax.Array, n: int):
+        k_z, k_lab = jax.random.split(key)
+        z = constrain_batch(mesh, bundle.sample_z(k_z, n))
+        labels = (bundle.sample_labels(k_lab, n)
+                  if bundle.conditional else None)
+        x0 = g_fwd(g_vars, z, labels)
+        x_k, logits = scan(d_vars, x0, labels)
+        return depth_to_space(x_k, channels), labels, logits
+
+    return draw_refine

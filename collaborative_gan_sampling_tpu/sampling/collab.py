@@ -31,11 +31,12 @@ from collaborative_gan_sampling_tpu.config import RefineConfig
 from collaborative_gan_sampling_tpu.models import GANBundle
 from collaborative_gan_sampling_tpu.parallel.mesh import constrain_batch
 from collaborative_gan_sampling_tpu.sampling.mh import (
-    calibrated_score,
     fit_platt,
     make_mh_sampler,
 )
-from collaborative_gan_sampling_tpu.sampling.refine import make_refine_fn
+from collaborative_gan_sampling_tpu.sampling.refine import (
+    make_draw_refine_fn,
+)
 from collaborative_gan_sampling_tpu.sampling.rejection import (
     drs_accept_mask,
     estimate_logit_max,
@@ -145,14 +146,14 @@ def _sample_standard(bundle, g_vars, d_vars, cfg, key, data_fn, mesh):
 
 
 def _sample_refinement(bundle, g_vars, d_vars, cfg, key, data_fn, mesh):
-    refine = make_refine_fn(bundle, cfg)
+    draw_refine = make_draw_refine_fn(bundle, cfg, mesh)
 
     @jax.jit
     def run(g_vars, d_vars, key):
         def body(k, i):
-            x0, labels = _draw(bundle, g_vars, k, cfg.batch_size, mesh)
-            x, aux = refine(d_vars, x0, labels, key=jax.random.fold_in(k, 1))
-            return (x, aux["logits"],
+            x, labels, logits = draw_refine(g_vars, d_vars, k,
+                                            cfg.batch_size)
+            return (x, logits,
                     labels if labels is not None else jnp.zeros((), jnp.int32))
         return _scan_batches(body, key, cfg.num_batches)
 
@@ -170,16 +171,18 @@ def _sample_refinement(bundle, g_vars, d_vars, cfg, key, data_fn, mesh):
 
 def _sample_reject(bundle, g_vars, d_vars, cfg, key, data_fn, mesh,
                    refine_first: bool = False):
-    refine = make_refine_fn(bundle, cfg) if refine_first else None
+    draw_refine = (make_draw_refine_fn(bundle, cfg, mesh) if refine_first
+                   else None)
 
     @jax.jit
     def run(g_vars, d_vars, key):
         k_burn, k_main = jax.random.split(key)
 
         def burn_sample(k, n):
-            x, labels = _draw(bundle, g_vars, k, n, mesh)
-            if refine is not None:
-                x, _ = refine(d_vars, x, labels, key=jax.random.fold_in(k, 1))
+            if draw_refine is not None:
+                x, labels, _ = draw_refine(g_vars, d_vars, k, n)
+            else:
+                x, labels = _draw(bundle, g_vars, k, n, mesh)
             return x, labels
 
         m = estimate_logit_max(bundle, d_vars, burn_sample, k_burn,
@@ -187,11 +190,12 @@ def _sample_reject(bundle, g_vars, d_vars, cfg, key, data_fn, mesh,
 
         def body(k, i):
             k_draw, k_acc = jax.random.split(k)
-            x, labels = _draw(bundle, g_vars, k_draw, cfg.batch_size, mesh)
-            if refine is not None:
-                x, aux = refine(d_vars, x, labels, key=jax.random.fold_in(k_draw, 1))
-                logits = aux["logits"]
+            if draw_refine is not None:
+                x, labels, logits = draw_refine(g_vars, d_vars, k_draw,
+                                                cfg.batch_size)
             else:
+                x, labels = _draw(bundle, g_vars, k_draw, cfg.batch_size,
+                                  mesh)
                 logits = bundle.discriminate(d_vars, x, labels, train=False)
             acc = drs_accept_mask(k_acc, logits, m, cfg.gamma, cfg.eps_drs,
                                   cfg.gamma_percentile,
@@ -277,7 +281,7 @@ def _sample_collab(bundle, g_vars, d_vars, cfg, key, data_fn, mesh,
         make_shaping_step,
     )
 
-    refine = make_refine_fn(bundle, cfg)
+    draw_refine = make_draw_refine_fn(bundle, cfg, mesh)
     shape_step = make_shaping_step(
         bundle, cfg.shaping_lr, decay=getattr(cfg, "shaping_decay", 1.0),
         target=getattr(cfg, "shaping_target", 0.0))
@@ -289,8 +293,7 @@ def _sample_collab(bundle, g_vars, d_vars, cfg, key, data_fn, mesh,
         k_burn, k_main = jax.random.split(key)
 
         def burn_sample(k, n):
-            x, labels = _draw(bundle, g_vars, k, n, mesh)
-            x, _ = refine(shaping_state0.d_vars, x, labels, key=jax.random.fold_in(k, 1))
+            x, labels, _ = draw_refine(g_vars, shaping_state0.d_vars, k, n)
             return x, labels
 
         m0 = estimate_logit_max(bundle, shaping_state0.d_vars, burn_sample,
@@ -301,9 +304,8 @@ def _sample_collab(bundle, g_vars, d_vars, cfg, key, data_fn, mesh,
             k = jax.random.fold_in(k_main, i)
             k_draw, k_acc, k_real, k_shape = jax.random.split(k, 4)
 
-            x0, labels = _draw(bundle, g_vars, k_draw, cfg.batch_size, mesh)
-            x, aux = refine(shaping_state.d_vars, x0, labels, key=jax.random.fold_in(k_draw, 1))
-            logits = aux["logits"]
+            x, labels, logits = draw_refine(g_vars, shaping_state.d_vars,
+                                            k_draw, cfg.batch_size)
             # D's logit scale drifts while it is being shaped, so a running
             # max over all rounds goes stale (it only grows) and acceptance
             # collapses. Recalibrate with an EMA of the per-round max —

@@ -116,6 +116,39 @@ def make_refine_fn(bundle: GANBundle, cfg: RefineConfig,
     return refine
 
 
+def make_draw_refine_fn(bundle: GANBundle, cfg: RefineConfig, mesh=None):
+    """Build `draw_refine(g_vars, d_vars, key, n) -> (x, labels, logits)` —
+    the z-draw + G + K-step refinement unit every refinement-family sampler
+    runs per batch. When the s2d fast path applies, the WHOLE unit is fused
+    in s2d coordinates (G's output deconv emits s2d directly — see
+    ops/refine_s2d.py); otherwise it reproduces the historical
+    _draw-then-refine sequence with identical PRNG streams."""
+    from collaborative_gan_sampling_tpu.models.dcgan import DCGANGenerator
+    from collaborative_gan_sampling_tpu.ops.refine_s2d import (
+        make_draw_refine_s2d,
+        supports_s2d_refine,
+    )
+    from collaborative_gan_sampling_tpu.parallel.mesh import constrain_batch
+
+    noise = getattr(cfg, "noise", 0.0)
+    if (supports_s2d_refine(bundle, cfg, False, noise)
+            and isinstance(getattr(bundle, "g", None), DCGANGenerator)):
+        return make_draw_refine_s2d(bundle, cfg, mesh)
+
+    refine = make_refine_fn(bundle, cfg)
+
+    def draw_refine(g_vars: Any, d_vars: Any, key: jax.Array, n: int):
+        k_z, k_lab = jax.random.split(key)
+        z = constrain_batch(mesh, bundle.sample_z(k_z, n))
+        labels = (bundle.sample_labels(k_lab, n)
+                  if bundle.conditional else None)
+        x0 = bundle.generate(g_vars, z, labels, train=False)
+        x, aux = refine(d_vars, x0, labels, key=jax.random.fold_in(key, 1))
+        return x, labels, aux["logits"]
+
+    return draw_refine
+
+
 def refine_samples(bundle: GANBundle, d_vars: Any, x0: jax.Array,
                    cfg: RefineConfig, labels: jax.Array | None = None,
                    return_trajectory: bool = False):

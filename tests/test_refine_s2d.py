@@ -114,3 +114,43 @@ def test_conv0_kernel_mapping_shape():
     # Every original tap appears exactly once: total mass preserved.
     np.testing.assert_allclose(float(jnp.sum(jnp.abs(k2))),
                                float(jnp.sum(jnp.abs(w))), rtol=1e-6)
+
+
+def test_sampler_fused_g_path_matches_oracle():
+    """End-to-end sampler parity: the fused z->G(s2d)->refine path must
+    produce the same samples as the unfused pixel-space path (identical
+    PRNG streams, math equal up to conv reassociation)."""
+    from collaborative_gan_sampling_tpu.sampling import sample
+
+    bundle, d_vars, _, _ = _setup(16, 1, 0)
+    g_vars, d_vars = bundle.init(jax.random.PRNGKey(3))
+    rcfg = RefineConfig(steps=3, rate=0.05, num_batches=2, batch_size=8,
+                        burn_in=8, use_pallas=False)
+    res_fast = sample(bundle, g_vars, d_vars, rcfg, jax.random.PRNGKey(4),
+                      method="refinement")
+    res_ref = sample(bundle, g_vars, d_vars,
+                     dataclasses.replace(rcfg, use_s2d=False),
+                     jax.random.PRNGKey(4), method="refinement")
+    np.testing.assert_allclose(np.asarray(res_fast.samples),
+                               np.asarray(res_ref.samples),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res_fast.logits),
+                               np.asarray(res_ref.logits),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_g_fwd_s2d_matches_flax():
+    """d2s(G_s2d(z)) == bundle.generate(z) for unconditional + conditional
+    and 2/4-stage generators (the deconv tap map is exact)."""
+    from collaborative_gan_sampling_tpu.ops.refine_s2d import make_g_fwd_s2d
+
+    for size, ch, classes in ((16, 1, 0), (28, 1, 0), (64, 3, 0),
+                              (16, 1, 4)):
+        bundle, _, _, labels = _setup(size, ch, classes, seed=9)
+        g_vars, _ = bundle.init(jax.random.PRNGKey(9))
+        z = bundle.sample_z(jax.random.PRNGKey(10), 4)
+        labs = labels[:4] if classes else None
+        want = bundle.generate(g_vars, z, labs, train=False)
+        got = depth_to_space(make_g_fwd_s2d(bundle.g)(g_vars, z, labs), ch)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5), (size, ch, classes)
