@@ -65,6 +65,11 @@ def main(argv: list[str] | None = None) -> int:
                         help="sampling method override for refine/eval")
     parser.add_argument("--debug-nans", action="store_true",
                         help="enable jax_debug_nans (dev runs; SURVEY 5.2)")
+    parser.add_argument("--auto-tune", action="store_true",
+                        help="refine/collab: joint (K, rate) grid search on "
+                             "the checkpoint first, then sample at the "
+                             "tuned setting (the campaigns show the optimum "
+                             "is checkpoint-dependent)")
     args, overrides = parser.parse_known_args(argv)
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
@@ -98,9 +103,17 @@ def main(argv: list[str] | None = None) -> int:
         method = (args.method or
                   ("collab" if args.command == "collab"
                    else cfg.refine.method))
-        res = exp.sample(state, method=method)
+        refine_cfg = None
+        tuned = {}
+        if args.auto_tune:
+            import dataclasses
+
+            (bk, br), _ = exp.select_hparams(state, sweep_steps, tune_rates)
+            refine_cfg = dataclasses.replace(cfg.refine, steps=bk, rate=br)
+            tuned = {"tuned_k": bk, "tuned_rate": br}
+        res = exp.sample(state, method=method, refine_cfg=refine_cfg)
         metrics = exp.evaluate(res)
-        print(json.dumps({"method": method, **metrics}))
+        print(json.dumps({"method": method, **tuned, **metrics}))
         return 0
 
     if args.command == "benchmark":

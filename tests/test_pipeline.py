@@ -245,3 +245,25 @@ def test_select_hparams_joint_grid(tmp_path):
     assert (best_k, best_rate) in table
     assert len(table) == 4
     assert all(np.isfinite(m["kl"]) for m in table.values())
+
+
+def test_cli_collab_auto_tune(tmp_path, capsys):
+    workdir = str(tmp_path / "at")
+    rc = cli_main(["train", "--config", "toy2d", "--workdir", workdir,
+                   "train.niters=40", "train.steps_per_call=20",
+                   "model.g_hidden=32", "model.d_hidden=32",
+                   "model.compute_dtype=float32", "train.ckpt_every=40",
+                   "refine.use_pallas=false"])
+    assert rc == 0
+    capsys.readouterr()
+    rc = cli_main(["collab", "--config", "toy2d", "--workdir", workdir,
+                   "--auto-tune", "sweep_steps=1,2", "tune_rates=0.05,0.1",
+                   "model.g_hidden=32", "model.d_hidden=32",
+                   "model.compute_dtype=float32",
+                   "refine.num_batches=2", "refine.batch_size=32",
+                   "refine.burn_in=32", "refine.use_pallas=false"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["tuned_k"] in (1, 2)
+    assert out["tuned_rate"] in (0.05, 0.1)
+    assert "kl" in out
