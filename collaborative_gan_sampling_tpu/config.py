@@ -112,6 +112,11 @@ class RefineConfig:
     noise: float = 0.0  # Langevin noise scale: x += sqrt(2*rate*noise)*N(0,I)
     # per step (DGflow-style stochastic refinement, arXiv:2012.00780); 0 =
     # deterministic gradient refinement (the reference's scheme)
+    objective: str = "ns"  # refinement flow objective (f-divergence drift,
+    # DGflow arXiv:2012.00780): 'ns' = softplus(-D), the reference's
+    # non-saturating loss (= JS-flow drift); 'kl' = -D, pure logit ascent
+    # (with noise>0 this is the KL Langevin flow); 'saturating' =
+    # -softplus(D), descent on log(1-D) (weights confident samples most)
     use_pallas: bool = True  # fused Pallas fast-path where supported
     use_s2d: bool = True  # space-to-depth conv-D refine fast path (exact
     # math in permuted coordinates; ops/refine_s2d.py)
@@ -120,6 +125,10 @@ class RefineConfig:
     gamma_percentile: float = 80.0  # dynamic gamma: batch percentile of
     # F_hat (0 disables); samples at this percentile get p=0.5
     burn_in: int = 2048  # samples used to estimate the logit max M
+    per_class_drs: bool = False  # conditional models: calibrate M per class
+    # (scatter-max over burn-in) so each class's acceptance is centred on
+    # its own logit scale; classes unseen in burn-in fall back to the
+    # global max. Needs burn_in >> num_classes to be well estimated.
     eps_drs: float = 1e-6
     # MH-GAN (C6):
     mh_chain_len: int = 40

@@ -207,11 +207,13 @@ def _make_s2d_scan(d_fwd, cfg):
     )
 
     steps, rate, clip_norm = cfg.steps, cfg.rate, cfg.clip_norm
+    objective = getattr(cfg, "objective", "ns")
 
     def scan(d_vars: Any, x_s2d: jax.Array,
              labels: jax.Array | None = None):
         def loss_sum(x):
-            return jnp.sum(refine_loss_per_sample(d_fwd(d_vars, x, labels)))
+            return jnp.sum(refine_loss_per_sample(
+                d_fwd(d_vars, x, labels), objective))
 
         grad_fn = jax.grad(loss_sum)
 

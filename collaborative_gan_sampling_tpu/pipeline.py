@@ -345,6 +345,10 @@ class Experiment:
             mask = jax.device_get(accepted).astype(bool)
             samples = jax.device_get(samples)[mask]
         samples = jnp.asarray(samples)
+        if samples.shape[0] == 0:
+            # Nothing accepted (e.g. aggressive gamma): FID is undefined;
+            # +inf keeps sweeps/tuners well-ordered instead of crashing.
+            return float("inf")
         bs = self.cfg.eval.fid_batch_size
         n = (samples.shape[0] // bs) * bs
         if n == 0:

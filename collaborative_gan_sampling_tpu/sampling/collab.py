@@ -40,6 +40,7 @@ from collaborative_gan_sampling_tpu.sampling.refine import (
 from collaborative_gan_sampling_tpu.sampling.rejection import (
     drs_accept_mask,
     estimate_logit_max,
+    estimate_logit_max_per_class,
 )
 
 METHODS = ("standard", "reject", "mhgan", "refinement", "collab")
@@ -98,6 +99,10 @@ def sample(bundle: GANBundle, g_vars: Any, d_vars: Any, cfg: RefineConfig,
 # ---------------------------------------------------------------------------
 # helpers
 # ---------------------------------------------------------------------------
+
+
+def _per_class_drs(bundle, cfg) -> bool:
+    return bool(getattr(cfg, "per_class_drs", False)) and bundle.conditional
 
 
 def _draw(bundle, g_vars, key, n, mesh):
@@ -173,6 +178,7 @@ def _sample_reject(bundle, g_vars, d_vars, cfg, key, data_fn, mesh,
                    refine_first: bool = False):
     draw_refine = (make_draw_refine_fn(bundle, cfg, mesh) if refine_first
                    else None)
+    per_class = _per_class_drs(bundle, cfg)
 
     @jax.jit
     def run(g_vars, d_vars, key):
@@ -185,8 +191,13 @@ def _sample_reject(bundle, g_vars, d_vars, cfg, key, data_fn, mesh,
                 x, labels = _draw(bundle, g_vars, k, n, mesh)
             return x, labels
 
-        m = estimate_logit_max(bundle, d_vars, burn_sample, k_burn,
-                               cfg.burn_in, cfg.batch_size)
+        if per_class:
+            m = estimate_logit_max_per_class(
+                bundle, d_vars, burn_sample, k_burn, cfg.burn_in,
+                cfg.batch_size, bundle.num_classes)
+        else:
+            m = estimate_logit_max(bundle, d_vars, burn_sample, k_burn,
+                                   cfg.burn_in, cfg.batch_size)
 
         def body(k, i):
             k_draw, k_acc = jax.random.split(k)
@@ -197,8 +208,12 @@ def _sample_reject(bundle, g_vars, d_vars, cfg, key, data_fn, mesh,
                 x, labels = _draw(bundle, g_vars, k_draw, cfg.batch_size,
                                   mesh)
                 logits = bundle.discriminate(d_vars, x, labels, train=False)
-            acc = drs_accept_mask(k_acc, logits, m, cfg.gamma, cfg.eps_drs,
-                                  cfg.gamma_percentile,
+            # Per-class M folds into the logits: the DRS shift depends only
+            # on logits - M, so logit_max becomes 0 (exact identity).
+            eff_logits = logits - m[labels] if per_class else logits
+            eff_m = jnp.float32(0.0) if per_class else m
+            acc = drs_accept_mask(k_acc, eff_logits, eff_m, cfg.gamma,
+                                  cfg.eps_drs, cfg.gamma_percentile,
                                   use_pallas=cfg.use_pallas)
             return (x, logits, acc,
                     labels if labels is not None else jnp.zeros((), jnp.int32))
@@ -276,6 +291,7 @@ def _sample_collab(bundle, g_vars, d_vars, cfg, key, data_fn, mesh,
         raise ValueError("collab sampling needs data_fn for D shaping")
     balanced = (cond_data_fn is not None and bundle.conditional
                 and getattr(cfg, "class_balanced_shaping", True))
+    per_class = _per_class_drs(bundle, cfg)
     from collaborative_gan_sampling_tpu.training.shaping import (
         create_shaping_state,
         make_shaping_step,
@@ -296,8 +312,14 @@ def _sample_collab(bundle, g_vars, d_vars, cfg, key, data_fn, mesh,
             x, labels, _ = draw_refine(g_vars, shaping_state0.d_vars, k, n)
             return x, labels
 
-        m0 = estimate_logit_max(bundle, shaping_state0.d_vars, burn_sample,
-                                k_burn, cfg.burn_in, cfg.batch_size)
+        if per_class:
+            m0 = estimate_logit_max_per_class(
+                bundle, shaping_state0.d_vars, burn_sample, k_burn,
+                cfg.burn_in, cfg.batch_size, bundle.num_classes)
+        else:
+            m0 = estimate_logit_max(bundle, shaping_state0.d_vars,
+                                    burn_sample, k_burn, cfg.burn_in,
+                                    cfg.batch_size)
 
         def body(carry, i):
             shaping_state, m = carry
@@ -310,11 +332,23 @@ def _sample_collab(bundle, g_vars, d_vars, cfg, key, data_fn, mesh,
             # max over all rounds goes stale (it only grows) and acceptance
             # collapses. Recalibrate with an EMA of the per-round max —
             # batch_size logits give a solid max estimate each round.
-            m = 0.7 * m + 0.3 * jnp.max(logits)
-            acc = drs_accept_mask(k_acc, logits, jnp.maximum(m, jnp.max(logits)),
-                                  cfg.gamma, cfg.eps_drs,
-                                  cfg.gamma_percentile,
-                                  use_pallas=cfg.use_pallas)
+            if per_class:
+                # Per-class EMA; classes absent this round keep their M.
+                rm = jnp.full_like(m, -jnp.inf).at[labels].max(logits)
+                seen = jnp.isfinite(rm)
+                m = jnp.where(seen, 0.7 * m + 0.3 * rm, m)
+                m_eff = jnp.where(seen, jnp.maximum(m, rm), m)
+                acc = drs_accept_mask(k_acc, logits - m_eff[labels],
+                                      jnp.float32(0.0), cfg.gamma,
+                                      cfg.eps_drs, cfg.gamma_percentile,
+                                      use_pallas=cfg.use_pallas)
+            else:
+                m = 0.7 * m + 0.3 * jnp.max(logits)
+                acc = drs_accept_mask(k_acc, logits,
+                                      jnp.maximum(m, jnp.max(logits)),
+                                      cfg.gamma, cfg.eps_drs,
+                                      cfg.gamma_percentile,
+                                      use_pallas=cfg.use_pallas)
 
             if cfg.shape_every > 0:
                 def do_shape(st):

@@ -33,9 +33,34 @@ from collaborative_gan_sampling_tpu.config import RefineConfig
 from collaborative_gan_sampling_tpu.models import GANBundle
 
 
-def refine_loss_per_sample(logits: jax.Array) -> jax.Array:
-    """Non-saturating refinement objective per sample: softplus(-D(x))."""
-    return jax.nn.softplus(-logits)
+OBJECTIVES = ("ns", "kl", "saturating")
+
+
+def refine_loss_per_sample(logits: jax.Array,
+                           objective: str = "ns") -> jax.Array:
+    """Per-sample refinement objective as a function of the D logit d.
+
+    All three descend toward higher D score but weight samples differently
+    (the f-divergence drift families of DGflow, arXiv:2012.00780):
+
+      ns          softplus(-d)   reference default; grad weight sigmoid(-d)
+                                 (= the JS-flow drift) — pushes hardest on
+                                 low-scored samples
+      kl          -d             pure logit ascent, uniform weight; with
+                                 RefineConfig.noise > 0 this is the KL
+                                 Langevin flow
+      saturating  -softplus(d)   descent on log(1 - D); grad weight
+                                 sigmoid(d) — pushes hardest on samples D
+                                 already likes
+    """
+    if objective == "ns":
+        return jax.nn.softplus(-logits)
+    if objective == "kl":
+        return -logits
+    if objective == "saturating":
+        return -jax.nn.softplus(logits)
+    raise ValueError(f"unknown refine objective {objective!r}; "
+                     f"have {OBJECTIVES}")
 
 
 def _clip_per_sample(g: jax.Array, max_norm: float) -> jax.Array:
@@ -55,6 +80,7 @@ def make_refine_fn(bundle: GANBundle, cfg: RefineConfig,
     """
     steps, rate, clip_norm = cfg.steps, cfg.rate, cfg.clip_norm
     noise = getattr(cfg, "noise", 0.0)
+    objective = getattr(cfg, "objective", "ns")
 
     def refine(d_vars: Any, x0: jax.Array,
                labels: jax.Array | None = None,
@@ -86,7 +112,7 @@ def make_refine_fn(bundle: GANBundle, cfg: RefineConfig,
                      key: jax.Array | None = None):
         def loss_sum(x):
             logits = bundle.discriminate(d_vars, x, labels, train=False)
-            return jnp.sum(refine_loss_per_sample(logits))
+            return jnp.sum(refine_loss_per_sample(logits, objective))
 
         grad_fn = jax.grad(loss_sum)
         if noise > 0 and key is None:

@@ -97,3 +97,30 @@ def estimate_logit_max(bundle, d_vars: Any, sample_fn: Callable,
     m, _ = jax.lax.scan(body, jnp.asarray(-jnp.inf, jnp.float32),
                         jnp.arange(n_batches))
     return m
+
+
+def estimate_logit_max_per_class(bundle, d_vars: Any, sample_fn: Callable,
+                                 key: jax.Array, burn_in: int,
+                                 batch_size: int,
+                                 num_classes: int) -> jax.Array:
+    """Per-class burn-in estimate M_c = max_{x: class c} F(x), shape (C,).
+
+    Conditional DRS calibration: a projection discriminator's logit scale
+    differs per class, so one global M over-rejects whole classes. Computed
+    with a scatter-max inside the same scan; classes never drawn during
+    burn-in fall back to the global max. The per-sample shift is then
+    ``logits - M[labels]`` fed to `drs_accept_mask` with logit_max=0 —
+    `drs_logit_shift` depends only on the difference, so the fold-in is
+    exact (tests/test_rejection.py pins this identity).
+    """
+    n_batches = max(1, burn_in // batch_size)
+
+    def body(carry, i):
+        k = jax.random.fold_in(key, i)
+        x, labels = sample_fn(k, batch_size)
+        logits = bundle.discriminate(d_vars, x, labels, train=False)
+        return carry.at[labels].max(logits), None
+
+    m0 = jnp.full((num_classes,), -jnp.inf, jnp.float32)
+    m, _ = jax.lax.scan(body, m0, jnp.arange(n_batches))
+    return jnp.where(jnp.isfinite(m), m, jnp.max(m))
