@@ -55,7 +55,7 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("command",
                         choices=["train", "refine", "collab", "benchmark",
                                  "eval", "sweep", "tune", "teaser",
-                                 "profile", "presets"])
+                                 "profile", "generate", "presets"])
     parser.add_argument("--config", default="toy2d",
                         help=f"preset: {list_presets()}")
     parser.add_argument("--workdir", default="")
@@ -80,12 +80,17 @@ def main(argv: list[str] | None = None) -> int:
 
     sweep_steps = [1, 5, 10, 20, 50]
     tune_rates = None
+    gen_n, gen_out = 10_000, ""
     kept = []
     for ov in overrides:
         if ov.startswith("sweep_steps="):
             sweep_steps = [int(s) for s in ov.split("=", 1)[1].split(",")]
         elif ov.startswith("tune_rates="):
             tune_rates = [float(s) for s in ov.split("=", 1)[1].split(",")]
+        elif ov.startswith("n="):
+            gen_n = int(ov.split("=", 1)[1])
+        elif ov.startswith("out="):
+            gen_out = ov.split("=", 1)[1]
         else:
             kept.append(ov)
     cfg = _build_cfg(args, kept)
@@ -125,6 +130,15 @@ def main(argv: list[str] | None = None) -> int:
         method = args.method or cfg.refine.method
         res = exp.sample(state, method=method)
         print(json.dumps({"method": method, **exp.evaluate(res)}))
+        return 0
+
+    if args.command == "generate":
+        # Serving path: compile-once sampler streaming accepted samples
+        # ('n=100000 out=samples.npz'); see sampling/serve.py.
+        method = args.method or cfg.refine.method
+        _, _, stats = exp.generate(state, gen_n, method=method,
+                                   out=gen_out or None)
+        print(json.dumps(stats))
         return 0
 
     if args.command == "profile":

@@ -170,6 +170,46 @@ class Experiment:
                       data_fn=self.data_fn, mesh=self.mesh,
                       cond_data_fn=cond_fn)
 
+    def generate(self, state: TrainState, n: int,
+                 method: str | None = None, use_shaped_d: bool = False,
+                 key: jax.Array | None = None, out: str | None = None):
+        """Serving entry (the production path): stream >= n ACCEPTED samples
+        through the compile-once ServingSampler (sampling/serve.py).
+
+        For method='collab', serving needs a shaped discriminator: it is
+        loaded from the workdir when one was persisted (save_shaped_d) or
+        `use_shaped_d` is set; otherwise one collab pass shapes D first and
+        persists it — 'train once, shape once, serve many times'.
+        Returns (samples, labels|None, stats); with `out`, also writes an
+        .npz with the samples (+labels) and records the path in stats.
+        """
+        from collaborative_gan_sampling_tpu.sampling.serve import (
+            ServingSampler,
+        )
+        method = method or self.cfg.refine.method
+        key = key if key is not None else step_key(self.base_key, 9, "eval")
+        d_vars = state.d_vars
+        if method == "collab":
+            if use_shaped_d or os.path.exists(self._shaped_d_path()):
+                d_vars = self.load_shaped_d(template=state.d_vars)
+            else:
+                res = self.sample(state, method="collab",
+                                  key=jax.random.fold_in(key, 0))
+                self.save_shaped_d(res)
+                d_vars = res.aux["shaped_d_vars"]
+        srv = ServingSampler(self.bundle, self.cfg.refine, method=method,
+                             mesh=self.mesh)
+        samples, labels, stats = srv.generate(
+            state.g_vars, d_vars, jax.random.fold_in(key, 1), n)
+        if out:
+            import numpy as np
+            arrays = {"samples": samples}
+            if labels is not None:
+                arrays["labels"] = labels
+            np.savez(out, **arrays)
+            stats["out"] = out
+        return samples, labels, stats
+
     def fid_refine(self, state: TrainState, key: jax.Array | None = None,
                    steps: int | None = None,
                    rate: float | None = None) -> SampleResult:
