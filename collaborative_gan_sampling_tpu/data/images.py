@@ -26,6 +26,7 @@ import gzip
 import os
 import pickle
 import struct
+import zlib
 from dataclasses import dataclass, field
 
 import jax
@@ -225,8 +226,9 @@ def procedural_images(name: str, n: int, size: int, channels: int,
     refinement. Deterministic per (name, seed); built in chunks on device.
     """
     classes = max(num_classes, 1)
-    base = jax.random.fold_in(jax.random.PRNGKey(seed),
-                              abs(hash(name)) % (2 ** 31))
+    # Stable across processes — Python's str hash is randomized per run.
+    name_tag = zlib.crc32(name.encode()) & 0x7FFFFFFF
+    base = jax.random.fold_in(jax.random.PRNGKey(seed), name_tag)
 
     yy = jnp.arange(size, dtype=jnp.float32)[None, :, None]
     xx = jnp.arange(size, dtype=jnp.float32)[None, None, :]
