@@ -130,6 +130,25 @@ def test_experiment_generate_collab_shapes_then_serves(tmp_path):
     np.testing.assert_array_equal(loaded["samples"], samples)
 
 
+def test_serving_under_mesh_matches_single_device():
+    """Data-parallel serving must not change the math: same (key, params)
+    give the same samples with and without the 8-device mesh."""
+    from collaborative_gan_sampling_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8 fake-device CI setup")
+    bundle, g_vars, d_vars = _bundle()
+    cfg = RefineConfig(steps=2, rate=0.05, num_batches=2, batch_size=32,
+                       burn_in=64, use_pallas=False)
+    key = jax.random.PRNGKey(5)
+    s1, _, _ = ServingSampler(bundle, cfg, method="reject").generate(
+        g_vars, d_vars, key, n=100)
+    s8, _, _ = ServingSampler(bundle, cfg, method="reject",
+                              mesh=make_mesh()).generate(
+        g_vars, d_vars, key, n=100)
+    np.testing.assert_allclose(s1, s8, rtol=1e-5, atol=1e-6)
+
+
 def test_cli_generate(tmp_path, capsys):
     from collaborative_gan_sampling_tpu.cli import main
 
