@@ -69,12 +69,14 @@ class ImageDataset:
 
         self._sample = _sample
         self._sample_by_labels = None
+        self.num_classes = 0
         if labels is not None:
             # Per-class index table for conditional draws (class-balanced
             # shaping): row c lists the dataset indices of class c, tiled
             # cyclically to the max class count so the gather is rectangular.
             labs_np = np.asarray(jax.device_get(labels))
             n_classes = int(labs_np.max()) + 1 if labs_np.size else 1
+            self.num_classes = n_classes
             per_class = [np.flatnonzero(labs_np == c) for c in range(n_classes)]
             cap = max(1, max((len(p) for p in per_class), default=1))
             table = np.zeros((n_classes, cap), np.int32)

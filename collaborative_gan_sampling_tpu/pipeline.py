@@ -68,6 +68,16 @@ class Experiment:
         else:
             self.dataset = load_image_dataset(cfg.data,
                                               image_size=cfg.model.image_size)
+            if (self.bundle.conditional
+                    and self.dataset.num_classes > cfg.model.num_classes):
+                # Real-batch labels would index past G/D's embedding tables
+                # (out-of-bounds gather -> silent garbage -> NaN training).
+                raise ValueError(
+                    f"model.num_classes={cfg.model.num_classes} is smaller "
+                    f"than the dataset's {self.dataset.num_classes} classes "
+                    f"({self.dataset.name}); label embeddings would be "
+                    "indexed out of bounds. Match model.num_classes to the "
+                    "dataset (or use an unconditional model).")
 
             def data_fn(key, n):
                 imgs, labels = self.dataset.batch(key, n)

@@ -267,3 +267,22 @@ def test_cli_collab_auto_tune(tmp_path, capsys):
     assert out["tuned_k"] in (1, 2)
     assert out["tuned_rate"] in (0.05, 0.1)
     assert "kl" in out
+
+
+def test_conditional_class_count_mismatch_raises(tmp_path):
+    """model.num_classes smaller than the dataset's class count would index
+    embedding tables out of bounds (silent garbage -> NaN training); the
+    Experiment must refuse up front with a clear error."""
+    import dataclasses
+
+    import pytest
+
+    from collaborative_gan_sampling_tpu.config import get_preset
+    from collaborative_gan_sampling_tpu.pipeline import Experiment
+
+    cfg = get_preset("imagenet64")  # procedural dataset has 1000 classes
+    cfg = cfg.replace(
+        workdir=str(tmp_path),
+        model=dataclasses.replace(cfg.model, num_classes=20))
+    with pytest.raises(ValueError, match="out of bounds"):
+        Experiment(cfg, echo_metrics=False)
