@@ -80,6 +80,7 @@ def main(argv: list[str] | None = None) -> int:
 
     sweep_steps = [1, 5, 10, 20, 50]
     tune_rates = None
+    tune_objectives = None
     gen_n, gen_out = 10_000, ""
     kept = []
     for ov in overrides:
@@ -87,6 +88,8 @@ def main(argv: list[str] | None = None) -> int:
             sweep_steps = [int(s) for s in ov.split("=", 1)[1].split(",")]
         elif ov.startswith("tune_rates="):
             tune_rates = [float(s) for s in ov.split("=", 1)[1].split(",")]
+        elif ov.startswith("tune_objectives="):
+            tune_objectives = ov.split("=", 1)[1].split(",")
         elif ov.startswith("n="):
             gen_n = int(ov.split("=", 1)[1])
         elif ov.startswith("out="):
@@ -161,13 +164,19 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.command == "tune":
-        # Joint (K, rate) grid (VERDICT r1 item 2): per-checkpoint tuning.
-        (best_k, best_rate), out = exp.select_hparams(
+        # Joint (K, rate[, objective]) grid: per-checkpoint tuning
+        # ('tune_objectives=ns,kl,saturating' adds the third axis).
+        best, out = exp.select_hparams(
             state, sweep_steps, tune_rates,
-            method=args.method or "refinement")
-        print(json.dumps({
-            "best_k": best_k, "best_rate": best_rate,
-            "grid": {f"k={k},rate={r}": m for (k, r), m in out.items()}}))
+            method=args.method or "refinement",
+            objectives=tune_objectives)
+        result = {"best_k": best[0], "best_rate": best[1]}
+        if tune_objectives is not None:
+            result["best_objective"] = best[2]
+        result["grid"] = {",".join(f"{n}={v}" for n, v in
+                                   zip(("k", "rate", "obj"), cell)): m
+                          for cell, m in out.items()}
+        print(json.dumps(result))
         return 0
 
     raise AssertionError(args.command)

@@ -247,6 +247,19 @@ def test_select_hparams_joint_grid(tmp_path):
     assert all(np.isfinite(m["kl"]) for m in table.values())
 
 
+def test_select_hparams_objective_axis(tmp_path):
+    """Optional third tuning axis (refine.objective): 3-tuple cells and a
+    3-tuple best; the 2-axis return shape is unchanged (test above)."""
+    cfg = _tiny_toy_cfg(tmp_path / "run")
+    exp = Experiment(cfg, echo_metrics=False)
+    state = exp.train()
+    best, table = exp.select_hparams(
+        state, ks=[1], rates=[0.05], objectives=["ns", "kl"])
+    assert best in table and len(best) == 3
+    assert len(table) == 2
+    assert {cell[2] for cell in table} == {"ns", "kl"}
+
+
 def test_cli_collab_auto_tune(tmp_path, capsys):
     workdir = str(tmp_path / "at")
     rc = cli_main(["train", "--config", "toy2d", "--workdir", workdir,
