@@ -81,7 +81,7 @@ def main(argv: list[str] | None = None) -> int:
     sweep_steps = [1, 5, 10, 20, 50]
     tune_rates = None
     tune_objectives = None
-    gen_n, gen_out = 10_000, ""
+    gen_n, gen_out, gen_class = 10_000, "", None
     kept = []
     for ov in overrides:
         if ov.startswith("sweep_steps="):
@@ -94,6 +94,8 @@ def main(argv: list[str] | None = None) -> int:
             gen_n = int(ov.split("=", 1)[1])
         elif ov.startswith("out="):
             gen_out = ov.split("=", 1)[1]
+        elif ov.startswith("class="):
+            gen_class = int(ov.split("=", 1)[1])
         else:
             kept.append(ov)
     cfg = _build_cfg(args, kept)
@@ -137,10 +139,11 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.command == "generate":
         # Serving path: compile-once sampler streaming accepted samples
-        # ('n=100000 out=samples.npz'); see sampling/serve.py.
+        # ('n=100000 out=samples.npz', optional 'class=7' for targeted
+        # conditional serving); see sampling/serve.py.
         method = args.method or cfg.refine.method
         _, _, stats = exp.generate(state, gen_n, method=method,
-                                   out=gen_out or None)
+                                   out=gen_out or None, class_id=gen_class)
         print(json.dumps(stats))
         return 0
 

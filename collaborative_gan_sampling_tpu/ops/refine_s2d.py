@@ -255,11 +255,12 @@ def make_draw_refine_s2d(bundle, cfg, mesh=None):
     scan = _make_s2d_scan(make_d_fwd_s2d(bundle.d), cfg)
     channels = bundle.data_shape[-1]
 
-    def draw_refine(g_vars: Any, d_vars: Any, key: jax.Array, n: int):
+    def draw_refine(g_vars: Any, d_vars: Any, key: jax.Array, n: int,
+                    labels: jax.Array | None = None):
         k_z, k_lab = jax.random.split(key)
         z = constrain_batch(mesh, bundle.sample_z(k_z, n))
-        labels = (bundle.sample_labels(k_lab, n)
-                  if bundle.conditional else None)
+        if bundle.conditional and labels is None:
+            labels = bundle.sample_labels(k_lab, n)
         x0 = g_fwd(g_vars, z, labels)
         x_k, logits = scan(d_vars, x0, labels)
         return depth_to_space(x_k, channels), labels, logits

@@ -182,7 +182,8 @@ class Experiment:
 
     def generate(self, state: TrainState, n: int,
                  method: str | None = None, use_shaped_d: bool = False,
-                 key: jax.Array | None = None, out: str | None = None):
+                 key: jax.Array | None = None, out: str | None = None,
+                 class_id: int | None = None):
         """Serving entry (the production path): stream >= n ACCEPTED samples
         through the compile-once ServingSampler (sampling/serve.py).
 
@@ -208,7 +209,7 @@ class Experiment:
                 self.save_shaped_d(res)
                 d_vars = res.aux["shaped_d_vars"]
         srv = ServingSampler(self.bundle, self.cfg.refine, method=method,
-                             mesh=self.mesh)
+                             mesh=self.mesh, class_id=class_id)
         samples, labels, stats = srv.generate(
             state.g_vars, d_vars, jax.random.fold_in(key, 1), n)
         if out:

@@ -163,11 +163,12 @@ def make_draw_refine_fn(bundle: GANBundle, cfg: RefineConfig, mesh=None):
 
     refine = make_refine_fn(bundle, cfg)
 
-    def draw_refine(g_vars: Any, d_vars: Any, key: jax.Array, n: int):
+    def draw_refine(g_vars: Any, d_vars: Any, key: jax.Array, n: int,
+                    labels: jax.Array | None = None):
         k_z, k_lab = jax.random.split(key)
         z = constrain_batch(mesh, bundle.sample_z(k_z, n))
-        labels = (bundle.sample_labels(k_lab, n)
-                  if bundle.conditional else None)
+        if bundle.conditional and labels is None:
+            labels = bundle.sample_labels(k_lab, n)
         x0 = bundle.generate(g_vars, z, labels, train=False)
         x, aux = refine(d_vars, x0, labels, key=jax.random.fold_in(key, 1))
         return x, labels, aux["logits"]

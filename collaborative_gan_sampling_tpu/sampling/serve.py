@@ -64,14 +64,21 @@ class ServingSampler:
     """
 
     def __init__(self, bundle: GANBundle, cfg: RefineConfig,
-                 method: str = "collab", mesh=None):
+                 method: str = "collab", mesh=None,
+                 class_id: int | None = None):
         if method not in SERVING_METHODS:
             raise ValueError(
                 f"serving supports {SERVING_METHODS}, not {method!r}")
+        if class_id is not None and not bundle.conditional:
+            raise ValueError("class_id needs a conditional model")
+        if class_id is not None and not 0 <= class_id < bundle.num_classes:
+            raise ValueError(
+                f"class_id {class_id} out of range [0, {bundle.num_classes})")
         self.bundle = bundle
         self.cfg = cfg
         self.method = method
         self.mesh = mesh
+        self.class_id = class_id
         self._refine_on = method in ("refinement", "collab")
         self._reject_on = method in ("reject", "collab")
         self._per_class = (bool(getattr(cfg, "per_class_drs", False))
@@ -83,15 +90,22 @@ class ServingSampler:
 
     # -- program builders ---------------------------------------------------
 
+    def _labels_for(self, key: jax.Array, n: int) -> jax.Array | None:
+        """Random labels, or every-sample `class_id` for targeted serving."""
+        if not self.bundle.conditional:
+            return None
+        if self.class_id is not None:
+            return jnp.full((n,), self.class_id, jnp.int32)
+        return self.bundle.sample_labels(key, n)
+
     def _draw_score(self, g_vars: Any, d_vars: Any, key: jax.Array,
                     n: int):
         """One candidate batch + its final logits (refined when enabled)."""
-        if self._refine_on:
-            return self._draw_refine(g_vars, d_vars, key, n)
         k_z, k_lab = jax.random.split(key)
+        labels = self._labels_for(k_lab, n)
+        if self._refine_on:
+            return self._draw_refine(g_vars, d_vars, key, n, labels=labels)
         z = constrain_batch(self.mesh, self.bundle.sample_z(k_z, n))
-        labels = (self.bundle.sample_labels(k_lab, n)
-                  if self.bundle.conditional else None)
         x = self.bundle.generate(g_vars, z, labels, train=False)
         logits = self.bundle.discriminate(d_vars, x, labels, train=False)
         return x, labels, logits

@@ -88,6 +88,31 @@ def test_conditional_serving_with_per_class_drs():
     assert samples.shape == (40, 16, 16, 1) and out_labels.shape == (40,)
 
 
+def test_targeted_class_serving():
+    """class_id serving: every emitted sample carries the requested class,
+    refined through the class-conditional G/D pair."""
+    mcfg = ModelConfig(kind="dcgan", z_dim=8, image_size=16, channels=1,
+                       g_base_filters=8, d_base_filters=8, num_classes=4,
+                       compute_dtype="float32")
+    bundle = make_bundle(mcfg)
+    g_vars, d_vars = bundle.init(jax.random.PRNGKey(0))
+    cfg = RefineConfig(steps=2, rate=0.02, num_batches=2, batch_size=32,
+                       burn_in=64, use_pallas=False)
+    srv = ServingSampler(bundle, cfg, method="collab", class_id=3)
+    samples, labels, stats = srv.generate(g_vars, d_vars,
+                                          jax.random.PRNGKey(1), n=40)
+    assert samples.shape[0] == 40
+    assert np.all(np.asarray(labels) == 3)
+    # Targeted samples differ from another class's (conditioning is live).
+    srv0 = ServingSampler(bundle, cfg, method="collab", class_id=0)
+    s0, _, _ = srv0.generate(g_vars, d_vars, jax.random.PRNGKey(1), n=40)
+    assert not np.array_equal(samples, s0)
+    with pytest.raises(ValueError, match="out of range"):
+        ServingSampler(bundle, cfg, class_id=7)
+    with pytest.raises(ValueError, match="conditional"):
+        ServingSampler(_bundle()[0], cfg, class_id=0)
+
+
 def test_serving_rejects_unknown_method():
     bundle, *_ = _bundle()
     with pytest.raises(ValueError, match="serving supports"):
