@@ -143,6 +143,15 @@ class RefineConfig:
     class_balanced_shaping: bool = True  # conditional models: draw shaping
     # real batches with the refined batch's labels (within-class signal for
     # the projection D; see BASELINE.md ImageNet-64 boundary)
+    shaping_freeze_embed: bool = False  # conditional models: freeze the
+    # projection-embedding rows during shaping and fine-tune only the shared
+    # trunk — with many classes and small batches the per-class embedding
+    # gradient is noise (~batch/num_classes samples per row) while the trunk
+    # sees the full batch
+    shaping_anchor: float = 0.0  # L2-SP trust region: add
+    # anchor * mean((d_params - d_params_restored)^2) to the shaping loss so
+    # the shaped D cannot drift far from the trained one; a principled
+    # replacement for hand-shrinking shaping_lr at well-trained checkpoints
     # Sampling volume:
     num_batches: int = 40
     batch_size: int = 256

@@ -298,14 +298,19 @@ def _sample_collab(bundle, g_vars, d_vars, cfg, key, data_fn, mesh,
     )
 
     draw_refine = make_draw_refine_fn(bundle, cfg, mesh)
+    anchor = getattr(cfg, "shaping_anchor", 0.0)
     shape_step = make_shaping_step(
         bundle, cfg.shaping_lr, decay=getattr(cfg, "shaping_decay", 1.0),
-        target=getattr(cfg, "shaping_target", 0.0))
+        target=getattr(cfg, "shaping_target", 0.0),
+        freeze_embed=getattr(cfg, "shaping_freeze_embed", False),
+        anchor=anchor)
+    # Trust-region anchor: the D params we restored with, captured once.
+    anchor_params = d_vars["params"] if anchor > 0 else None
     shaping_state0, _ = create_shaping_state(
         d_vars, cfg.shaping_lr, decay=getattr(cfg, "shaping_decay", 1.0))
 
     @jax.jit
-    def run(g_vars, shaping_state0, key):
+    def run(g_vars, shaping_state0, anchor_params, key):
         k_burn, k_main = jax.random.split(key)
 
         def burn_sample(k, n):
@@ -368,7 +373,8 @@ def _sample_collab(bundle, g_vars, d_vars, cfg, key, data_fn, mesh,
                         else:
                             x_real, labels_r = data_fn(kj, cfg.batch_size)
                         x_real = constrain_batch(mesh, x_real)
-                        st, loss = shape_step(st, x_real, x, labels_r, labels)
+                        st, loss = shape_step(st, x_real, x, labels_r,
+                                              labels, anchor_params)
                     return st, loss
 
                 shaping_state, shape_loss = jax.lax.cond(
@@ -388,7 +394,7 @@ def _sample_collab(bundle, g_vars, d_vars, cfg, key, data_fn, mesh,
         return shaping_state, m, outs
 
     shaping_state, m, (xs, logits, acc, shape_losses, labels) = run(
-        g_vars, shaping_state0, key)
+        g_vars, shaping_state0, anchor_params, key)
     samples = _flatten(xs)
     labels = _flatten(labels) if bundle.conditional else None
     return SampleResult(

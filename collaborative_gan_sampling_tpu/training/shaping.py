@@ -53,8 +53,26 @@ def create_shaping_state(d_vars: Any, lr: float, decay: float = 1.0
                         step=jnp.zeros((), jnp.int32)), tx
 
 
+def _embed_grad_mask(params: Any) -> Any:
+    """1.0/0.0 mask over the D param tree zeroing class-embedding subtrees.
+
+    Matches the projection discriminator's ``proj_embed`` (models/dcgan.py)
+    and any other ``*embed*``-named module: with num_classes >> batch each
+    embedding row receives a gradient from ~batch/num_classes samples —
+    pure noise — while the shared trunk sees the whole batch."""
+
+    def mask(tree, frozen):
+        if isinstance(tree, dict):
+            return {k: mask(v, frozen or "embed" in k.lower())
+                    for k, v in tree.items()}
+        return jnp.zeros_like(tree) if frozen else jnp.ones_like(tree)
+
+    return mask(params, False)
+
+
 def make_shaping_step(bundle: GANBundle, lr: float, decay: float = 1.0,
-                      target: float = 0.0):
+                      target: float = 0.0, freeze_embed: bool = False,
+                      anchor: float = 0.0):
     """Build `shape_step(state, x_real, x_refined, labels_r, labels_f)
     -> (state, d_loss)` — one D update on a (real, refined) pair.
 
@@ -62,11 +80,16 @@ def make_shaping_step(bundle: GANBundle, lr: float, decay: float = 1.0,
     unchanged, step not counted) when D's mean real-vs-refined logit
     separation is already below `target` — shaping exists to keep D's
     gradient field informative, and once D can barely tell refined fakes
-    from real, further fine-tuning only destabilises the field."""
+    from real, further fine-tuning only destabilises the field.
+
+    ``freeze_embed`` zeroes gradients on class-embedding params (trunk-only
+    shaping for many-class conditional models); ``anchor > 0`` adds an
+    L2-SP trust-region term ``anchor * mean((p - p_restored)^2)`` pulling
+    the shaped D toward the D it started from."""
     tx = _make_tx(lr, decay)
 
     def shape_step(state: ShapingState, x_real, x_refined,
-                   labels_r=None, labels_f=None):
+                   labels_r=None, labels_f=None, anchor_params=None):
         x_refined = jax.lax.stop_gradient(x_refined)
 
         def loss_fn(d_params):
@@ -77,10 +100,25 @@ def make_shaping_step(bundle: GANBundle, lr: float, decay: float = 1.0,
             lr_fake, upd2 = bundle.discriminate(d_vars2, x_refined, labels_f,
                                                 train=True)
             sep = jnp.mean(lr_real) - jnp.mean(lr_fake)
-            return nonsaturating_d_loss(lr_real, lr_fake), (upd2, sep)
+            loss = nonsaturating_d_loss(lr_real, lr_fake)
+            if anchor > 0 and anchor_params is not None:
+                # Standard L2-SP: 0.5 * anchor * ||p - p_restored||^2 (sum
+                # over ALL params, so the pull-back gradient on each param
+                # is anchor * (p - p0) regardless of layer size).
+                sq = jax.tree_util.tree_map(
+                    lambda p, p0: jnp.sum(jnp.square(
+                        p.astype(jnp.float32) - p0.astype(jnp.float32))),
+                    d_params, anchor_params)
+                loss = loss + 0.5 * anchor * sum(
+                    jax.tree_util.tree_leaves(sq))
+            return loss, (upd2, sep)
 
         (loss, (upd, sep)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.d_vars["params"])
+        if freeze_embed:
+            grads = jax.tree_util.tree_map(
+                lambda g, m: g * m.astype(g.dtype), grads,
+                _embed_grad_mask(grads))
 
         def apply(state):
             updates, opt = tx.update(grads, state.opt,

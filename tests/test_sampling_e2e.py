@@ -201,3 +201,70 @@ def test_collab_class_balanced_shaping_wiring():
     sample(bundle, g_vars, d_vars, rcfg_off, jax.random.PRNGKey(1),
            method="collab", data_fn=data_fn, cond_data_fn=cond_fn)
     assert not seen
+
+
+def _tiny_conditional():
+    from collaborative_gan_sampling_tpu.config import DataConfig
+    from collaborative_gan_sampling_tpu.data import load_image_dataset
+
+    mcfg = ModelConfig(kind="dcgan", z_dim=8, image_size=16, channels=1,
+                       g_base_filters=8, d_base_filters=8, num_classes=4,
+                       compute_dtype="float32")
+    bundle = make_bundle(mcfg)
+    g_vars, d_vars = bundle.init(jax.random.PRNGKey(0))
+    ds = load_image_dataset(DataConfig(dataset="mnist"), image_size=16,
+                            procedural_n=64)
+
+    def data_fn(key, n):
+        x, labs = ds.batch(key, n)
+        return x, labs % 4
+
+    return bundle, g_vars, d_vars, data_fn
+
+
+def test_shaping_freeze_embed_keeps_projection_rows():
+    """shaping_freeze_embed: the projection discriminator's class-embedding
+    params are untouched by collab shaping while the trunk still moves
+    (the many-class mitigation — BASELINE.md ImageNet-64 boundary)."""
+    bundle, g_vars, d_vars, data_fn = _tiny_conditional()
+    rcfg = RefineConfig(steps=2, rate=0.05, num_batches=3, batch_size=16,
+                        burn_in=16, use_pallas=False,
+                        shaping_freeze_embed=True)
+    res = sample(bundle, g_vars, d_vars, rcfg, jax.random.PRNGKey(2),
+                 method="collab", data_fn=data_fn)
+    shaped = res.aux["shaped_d_vars"]["params"]
+    assert int(res.aux["shaping_steps_done"]) > 0
+    np.testing.assert_array_equal(
+        np.asarray(shaped["proj_embed"]["embedding"]),
+        np.asarray(d_vars["params"]["proj_embed"]["embedding"]))
+    assert not np.allclose(np.asarray(shaped["conv0"]["kernel"]),
+                           np.asarray(d_vars["params"]["conv0"]["kernel"]))
+
+    # Default (freeze off): the embedding rows do move.
+    rcfg_off = dataclasses.replace(rcfg, shaping_freeze_embed=False)
+    res2 = sample(bundle, g_vars, d_vars, rcfg_off, jax.random.PRNGKey(2),
+                  method="collab", data_fn=data_fn)
+    shaped2 = res2.aux["shaped_d_vars"]["params"]
+    assert not np.allclose(
+        np.asarray(shaped2["proj_embed"]["embedding"]),
+        np.asarray(d_vars["params"]["proj_embed"]["embedding"]))
+
+
+def test_shaping_anchor_limits_drift(trained_toy):
+    """shaping_anchor (L2-SP trust region): a strong anchor keeps the shaped
+    D closer to the restored D than an unanchored run."""
+    bundle, state, spec, data_fn = trained_toy
+
+    def drift(anchor):
+        rcfg = dataclasses.replace(RCFG, shaping_anchor=anchor,
+                                   num_batches=8)
+        res = sample(bundle, state.g_vars, state.d_vars, rcfg,
+                     jax.random.PRNGKey(11), method="collab",
+                     data_fn=data_fn)
+        shaped = res.aux["shaped_d_vars"]["params"]
+        base = state.d_vars["params"]
+        return sum(float(jnp.sum(jnp.abs(a - b)))
+                   for a, b in zip(jax.tree_util.tree_leaves(shaped),
+                                   jax.tree_util.tree_leaves(base)))
+
+    assert drift(1e4) < 0.5 * drift(0.0)
