@@ -149,8 +149,8 @@ class RefineConfig:
     # gradient is noise (~batch/num_classes samples per row) while the trunk
     # sees the full batch
     shaping_anchor: float = 0.0  # L2-SP trust region: add
-    # anchor * mean((d_params - d_params_restored)^2) to the shaping loss so
-    # the shaped D cannot drift far from the trained one; a principled
+    # 0.5 * anchor * ||d_params - d_params_restored||^2 to the shaping loss
+    # so the shaped D cannot drift far from the trained one; a principled
     # replacement for hand-shrinking shaping_lr at well-trained checkpoints
     # Sampling volume:
     num_batches: int = 40

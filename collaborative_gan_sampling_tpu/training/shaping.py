@@ -84,7 +84,7 @@ def make_shaping_step(bundle: GANBundle, lr: float, decay: float = 1.0,
 
     ``freeze_embed`` zeroes gradients on class-embedding params (trunk-only
     shaping for many-class conditional models); ``anchor > 0`` adds an
-    L2-SP trust-region term ``anchor * mean((p - p_restored)^2)`` pulling
+    L2-SP trust-region term ``0.5 * anchor * ||p - p_restored||^2`` pulling
     the shaped D toward the D it started from."""
     tx = _make_tx(lr, decay)
 
