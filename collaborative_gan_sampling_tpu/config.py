@@ -173,6 +173,11 @@ class EvalConfig:
     # side; 0 disables. Reported alongside FID by Experiment.evaluate.
     prd_samples: int = 0
     prd_k: int = 3  # k-NN manifold neighbourhood size
+    # Kernel Inception Distance (arXiv:1801.01401): number of random
+    # subsets; 0 disables. Unbiased, no Gaussian assumption — the
+    # small-sample companion to FID. Reported as kid / kid_std.
+    kid_subsets: int = 0
+    kid_subset_size: int = 1024
 
 
 @dataclass(frozen=True)

@@ -15,3 +15,7 @@ from collaborative_gan_sampling_tpu.evals.features import (  # noqa: F401
 from collaborative_gan_sampling_tpu.evals.prd import (  # noqa: F401
     precision_recall,
 )
+from collaborative_gan_sampling_tpu.evals.kid import (  # noqa: F401
+    kid,
+    mmd2_unbiased,
+)

@@ -432,7 +432,42 @@ class Experiment:
                "feature_net": self._feature_label}
         if self.cfg.eval.prd_samples > 0:
             out.update(self.precision_recall(result))
+        if self.cfg.eval.kid_subsets > 0:
+            out.update(self.kid(result))
         return out
+
+    def kid(self, result: SampleResult, n: int | None = None
+            ) -> dict[str, float]:
+        """Kernel Inception Distance (arXiv:1801.01401) over the same
+        feature space as FID — unbiased, reliable at small sample counts
+        (evals/kid.py). Mean/std over eval.kid_subsets random subsets."""
+        from collaborative_gan_sampling_tpu.evals.kid import kid
+
+        ecfg = self.cfg.eval
+        n = n or ecfg.fid_num_samples
+        feature_fn = self._feature_fn()
+        samples = result.samples
+        if result.accepted is not None:
+            mask = jax.device_get(result.accepted).astype(bool)
+            samples = jax.device_get(samples)[mask]
+        samples = jnp.asarray(samples)[:n]
+        if samples.shape[0] < 2:
+            return {"kid": float("inf"), "kid_std": 0.0}
+        key = step_key(self.base_key, 4, "eval")
+        x_real, _ = self.data_fn(key, min(n, samples.shape[0]))
+        bs = min(ecfg.fid_batch_size, samples.shape[0], x_real.shape[0])
+
+        def feats_of(x):
+            m = (x.shape[0] // bs) * bs
+            f = jax.lax.map(feature_fn, x[:m].reshape(-1, bs, *x.shape[1:]))
+            return f.reshape(-1, f.shape[-1])
+
+        mean, std = jax.jit(
+            lambda a, b, k: kid(feats_of(a), feats_of(b), k,
+                                n_subsets=ecfg.kid_subsets,
+                                subset_size=ecfg.kid_subset_size)
+        )(x_real, samples, jax.random.fold_in(key, 1))
+        return {"kid": float(mean), "kid_std": float(std)}
 
     def precision_recall(self, result: SampleResult,
                          n: int | None = None) -> dict[str, float]:
