@@ -36,6 +36,7 @@ from collaborative_gan_sampling_tpu.training import (
     TrainState,
     create_train_state,
     make_train_chunk,
+    sampling_g_vars,
 )
 from collaborative_gan_sampling_tpu.utils.checkpoint import (
     latest_checkpoint,
@@ -175,7 +176,7 @@ class Experiment:
                 and getattr(getattr(self, "dataset", None), "labels", None)
                 is not None):
             cond_fn = self.dataset.batch_by_labels
-        return sample(self.bundle, state.g_vars, d_vars,
+        return sample(self.bundle, sampling_g_vars(state), d_vars,
                       refine_cfg or self.cfg.refine, key, method=method,
                       data_fn=self.data_fn, mesh=self.mesh,
                       cond_data_fn=cond_fn)
@@ -211,7 +212,7 @@ class Experiment:
         srv = ServingSampler(self.bundle, self.cfg.refine, method=method,
                              mesh=self.mesh, class_id=class_id)
         samples, labels, stats = srv.generate(
-            state.g_vars, d_vars, jax.random.fold_in(key, 1), n)
+            sampling_g_vars(state), d_vars, jax.random.fold_in(key, 1), n)
         if out:
             import numpy as np
             arrays = {"samples": samples}
@@ -255,7 +256,8 @@ class Experiment:
             _, outs = jax.lax.scan(body, None, jnp.arange(cfg.num_batches))
             return outs
 
-        xs, logits, fids, labels = run(state.g_vars, state.d_vars, key)
+        xs, logits, fids, labels = run(sampling_g_vars(state),
+                                       state.d_vars, key)
         samples = xs.reshape((-1,) + xs.shape[2:])
         labels = (labels.reshape(-1) if self.bundle.conditional else None)
         return SampleResult(samples, jnp.ones(samples.shape[0], bool),
@@ -570,7 +572,7 @@ class Experiment:
         refine = jax.jit(make_refine_fn(self.bundle, rcfg,
                                         return_trajectory=True))
         z = self.bundle.sample_z(key, n_points)
-        x0 = self.bundle.generate(state.g_vars, z)
+        x0 = self.bundle.generate(sampling_g_vars(state), z)
         x_k, aux = refine(state.d_vars, x0)
         x_real, _ = self.data_fn(jax.random.fold_in(key, 1), n_points * 4)
         from collaborative_gan_sampling_tpu.viz import save_teaser_gif

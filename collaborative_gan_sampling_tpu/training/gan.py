@@ -62,6 +62,16 @@ class TrainState(struct.PyTreeNode):
     g_opt: Any
     d_opt: Any
     step: jax.Array  # int32 scalar
+    g_ema: Any = None  # EMA of g_vars['params'] when train.g_ema_decay > 0
+
+
+def sampling_g_vars(state: TrainState) -> dict:
+    """G variables for sampling/eval/serving: the EMA generator when
+    tracked (train.g_ema_decay > 0), else the live params. BN running
+    averages come from g_vars either way."""
+    if getattr(state, "g_ema", None) is None:
+        return state.g_vars
+    return _with_params(state.g_vars, state.g_ema)
 
 
 def _with_params(variables: Any, params: Any) -> dict:
@@ -90,11 +100,14 @@ def create_train_state(bundle: GANBundle, cfg: TrainConfig,
                        key: jax.Array) -> TrainState:
     g_vars, d_vars = bundle.init(key, batch=max(2, min(cfg.batch_size, 8)))
     g_tx, d_tx = make_optimizers(cfg)
+    ema = (jax.tree.map(jnp.copy, g_vars["params"])
+           if getattr(cfg, "g_ema_decay", 0.0) > 0 else None)
     return TrainState(
         g_vars=dict(g_vars), d_vars=dict(d_vars),
         g_opt=g_tx.init(g_vars["params"]),
         d_opt=d_tx.init(d_vars["params"]),
         step=jnp.zeros((), jnp.int32),
+        g_ema=ema,
     )
 
 
@@ -252,7 +265,7 @@ def make_train_chunk(bundle: GANBundle, cfg: TrainConfig, data_fn: DataFn,
         if getattr(cfg, "fused_prop", False):
             state, metrics = fused_update(
                 state, step_key(base_key, state.step, "data"))
-            return state.replace(step=state.step + 1), metrics
+            return _update_ema(state.replace(step=state.step + 1)), metrics
         metrics = {}
         for i in range(cfg.d_steps):
             state, m = d_update(
@@ -264,7 +277,16 @@ def make_train_chunk(bundle: GANBundle, cfg: TrainConfig, data_fn: DataFn,
                 state, step_key(base_key, state.step * cfg.g_steps + i, "z"))
             metrics.update(m)
         state = state.replace(step=state.step + 1)
-        return state, metrics
+        return _update_ema(state), metrics
+
+    def _update_ema(state: TrainState) -> TrainState:
+        if state.g_ema is None:  # structural — static at trace time
+            return state
+        d = getattr(cfg, "g_ema_decay", 0.0)
+        ema = jax.tree.map(
+            lambda e, p: (d * e + (1.0 - d) * p).astype(e.dtype),
+            state.g_ema, state.g_vars["params"])
+        return state.replace(g_ema=ema)
 
     # Donating the state lets XLA update params/opt-state in place (no
     # copy of the full model state per chunk). Callers use the returned

@@ -91,6 +91,17 @@ def restore_checkpoint(path: str, target: Any | None = None,
         raw = serialization.msgpack_restore(fh.read())
     if target is None:
         return raw
+    # Forward compatibility for optional state fields: a checkpoint written
+    # before a None-defaulted field existed (e.g. TrainState.g_ema) restores
+    # into the new structure by filling the missing key with the target's
+    # None. Only None-valued target fields are filled — a missing key whose
+    # target holds real arrays still errors (that's data loss, not an
+    # optional feature).
+    tgt_sd = serialization.to_state_dict(target)
+    if isinstance(raw, dict) and isinstance(tgt_sd, dict):
+        for k, v in tgt_sd.items():
+            if k not in raw and v is None:
+                raw[k] = None
     return serialization.from_state_dict(target, raw)
 
 
