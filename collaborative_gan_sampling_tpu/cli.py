@@ -37,6 +37,45 @@ def _build_cfg(args, overrides):
     return apply_overrides(cfg, overrides)
 
 
+def _inspect(exp: Experiment) -> dict:
+    """Summarise the workdir's latest checkpoint: step, parameter counts,
+    optional-state presence (EMA generator, shaped D) and the saved config's
+    model section — without loading anything onto an accelerator."""
+    import os
+
+    import numpy as np
+
+    from collaborative_gan_sampling_tpu.utils.checkpoint import (
+        latest_checkpoint,
+        restore_checkpoint,
+        saved_config,
+    )
+
+    path = latest_checkpoint(exp.ckpt_dir)
+    if path is None:
+        return {"workdir": exp.workdir, "checkpoint": None,
+                "note": "no checkpoint; run train first"}
+
+    def n_params(tree) -> int:
+        if isinstance(tree, dict):
+            return sum(n_params(v) for v in tree.values())
+        return int(np.size(tree)) if tree is not None else 0
+
+    raw = restore_checkpoint(path)  # raw dict — no model construction
+    saved = saved_config(exp.ckpt_dir) or {}
+    info = {
+        "workdir": exp.workdir,
+        "checkpoint": path,
+        "step": int(np.asarray(raw.get("step", -1))),
+        "g_params": n_params(raw.get("g_vars", {}).get("params", {})),
+        "d_params": n_params(raw.get("d_vars", {}).get("params", {})),
+        "g_ema_tracked": raw.get("g_ema") is not None,
+        "shaped_d_saved": os.path.exists(exp._shaped_d_path()),
+        "model_config": saved.get("model"),
+    }
+    return info
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
     from collaborative_gan_sampling_tpu.utils.compile_cache import (
@@ -55,7 +94,8 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("command",
                         choices=["train", "refine", "collab", "benchmark",
                                  "eval", "sweep", "tune", "teaser",
-                                 "profile", "generate", "presets"])
+                                 "profile", "generate", "inspect",
+                                 "presets"])
     parser.add_argument("--config", default="toy2d",
                         help=f"preset: {list_presets()}")
     parser.add_argument("--workdir", default="")
@@ -105,6 +145,12 @@ def main(argv: list[str] | None = None) -> int:
         state = exp.train()
         print(json.dumps({"trained_steps": int(state.step),
                           "workdir": cfg.workdir}))
+        return 0
+
+    if args.command == "inspect":
+        # Checkpoint introspection — never trains (unlike the other
+        # post-training commands, which fall back to load_or_train).
+        print(json.dumps(_inspect(exp), indent=2))
         return 0
 
     state = exp.load_or_train()

@@ -299,3 +299,25 @@ def test_conditional_class_count_mismatch_raises(tmp_path):
         model=dataclasses.replace(cfg.model, num_classes=20))
     with pytest.raises(ValueError, match="out of bounds"):
         Experiment(cfg, echo_metrics=False)
+
+
+def test_cli_inspect(tmp_path, capsys):
+    workdir = str(tmp_path / "insp")
+    common = ["--config", "toy2d", "--workdir", workdir,
+              "train.niters=20", "train.steps_per_call=10",
+              "train.batch_size=64", "model.g_hidden=32",
+              "model.d_hidden=32", "model.compute_dtype=float32",
+              "train.g_ema_decay=0.9"]
+    # No checkpoint yet: inspect reports that, never trains.
+    assert cli_main(["inspect"] + common) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["checkpoint"] is None
+
+    assert cli_main(["train"] + common) == 0
+    capsys.readouterr()
+    assert cli_main(["inspect"] + common) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["step"] == 20
+    assert out["g_params"] > 0 and out["d_params"] > 0
+    assert out["g_ema_tracked"] is True
+    assert out["model_config"]["kind"] == "mlp"
