@@ -34,6 +34,9 @@ def main():
     p.add_argument("--k", type=int, default=5)
     p.add_argument("--rate", type=float, default=0.005)
     p.add_argument("--anchors", default="0.1,1.0")
+    p.add_argument("--intra", type=int, default=0,
+                   help="also report intra-FID over the N most frequent "
+                        "classes (eval.intra_fid_classes)")
     p.add_argument("--out", default="runs/imagenet64_q3")
     args = p.parse_args()
 
@@ -47,7 +50,9 @@ def main():
     cfg = get_preset(args.preset)
     cfg = cfg.replace(
         workdir=os.path.join(args.out, f"it{args.iters}"),
-        train=dataclasses.replace(cfg.train, niters=args.iters))
+        train=dataclasses.replace(cfg.train, niters=args.iters),
+        eval=dataclasses.replace(cfg.eval,
+                                 intra_fid_classes=args.intra))
     exp = Experiment(cfg, echo_metrics=False)
     state = exp.load_or_train()
 

@@ -182,6 +182,11 @@ class EvalConfig:
     # small-sample companion to FID. Reported as kid / kid_std.
     kid_subsets: int = 0
     kid_subset_size: int = 1024
+    # Intra-FID (per-class FID, conditional models): evaluate the N most
+    # frequent classes; 0 disables. Global FID over a mixed pool cannot see
+    # per-class failures (class swaps, per-class collapse).
+    intra_fid_classes: int = 0
+    intra_fid_min_count: int = 32
 
 
 @dataclass(frozen=True)

@@ -436,7 +436,44 @@ class Experiment:
             out.update(self.precision_recall(result))
         if self.cfg.eval.kid_subsets > 0:
             out.update(self.kid(result))
+        if (self.cfg.eval.intra_fid_classes > 0 and self.bundle.conditional
+                and result.labels is not None):
+            out.update(self.intra_fid(result))
         return out
+
+    def intra_fid(self, result: SampleResult, n: int | None = None
+                  ) -> dict[str, float]:
+        """Per-class FID averaged over the eval.intra_fid_classes most
+        frequent classes (evals/fid.per_class_fid) — the conditional-GAN
+        metric global FID cannot substitute for."""
+        from collaborative_gan_sampling_tpu.evals.fid import per_class_fid
+
+        ecfg = self.cfg.eval
+        n = n or ecfg.fid_num_samples
+        feature_fn = self._feature_fn()
+        samples, labels_f = result.samples, result.labels
+        if result.accepted is not None:
+            mask = jax.device_get(result.accepted).astype(bool)
+            samples = jax.device_get(samples)[mask]
+            labels_f = jax.device_get(labels_f)[mask]
+        samples = jnp.asarray(samples)[:n]
+        labels_f = jnp.asarray(labels_f)[:n]
+        key = step_key(self.base_key, 5, "eval")
+        x_real, labels_r = self.dataset.batch(key, min(n, samples.shape[0]))
+        bs = min(ecfg.fid_batch_size, samples.shape[0], x_real.shape[0])
+
+        def feats_of(x):
+            m = (x.shape[0] // bs) * bs
+            f = jax.lax.map(feature_fn, x[:m].reshape(-1, bs, *x.shape[1:]))
+            return f.reshape(-1, f.shape[-1]), m
+
+        fr, mr = feats_of(x_real)
+        ff, mf = feats_of(samples)
+        res = per_class_fid(fr, labels_r[:mr], ff, labels_f[:mf],
+                            min_count=ecfg.intra_fid_min_count,
+                            max_classes=ecfg.intra_fid_classes)
+        return {"intra_fid": res["intra_fid"],
+                "intra_fid_classes": res["intra_fid_classes"]}
 
     def kid(self, result: SampleResult, n: int | None = None
             ) -> dict[str, float]:
