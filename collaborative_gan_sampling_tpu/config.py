@@ -90,9 +90,11 @@ class TrainConfig:
     # (ignores d_steps/g_steps); ~1 G-fwd + 1 D-fwd cheaper per iteration.
     fused_prop: bool = False
     g_ema_decay: float = 0.0  # exponential moving average of G params
-    # (ema = d*ema + (1-d)*params per iteration); 0 = off. When tracked,
-    # sampling/eval/serving use the EMA generator (standard production-GAN
-    # practice; beyond the reference). 0.999 is a good default at image scale
+    # (ema = d_t*ema + (1-d_t)*params per iteration, with the TF1
+    # num_updates decay warmup d_t = min(d, (1+t)/(10+t)) so short runs
+    # shed the random init); 0 = off. When tracked, sampling/eval/serving
+    # use the EMA generator (standard production-GAN practice; beyond the
+    # reference). 0.999 is a good default at image scale
     steps_per_call: int = 50  # lax.scan'd train steps per host dispatch
     log_every: int = 200
     ckpt_every: int = 1000

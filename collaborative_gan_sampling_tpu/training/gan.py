@@ -282,7 +282,13 @@ def make_train_chunk(bundle: GANBundle, cfg: TrainConfig, data_fn: DataFn,
     def _update_ema(state: TrainState) -> TrainState:
         if state.g_ema is None:  # structural — static at trace time
             return state
-        d = getattr(cfg, "g_ema_decay", 0.0)
+        d_max = getattr(cfg, "g_ema_decay", 0.0)
+        # Decay warmup (TF1 ExponentialMovingAverage num_updates= schedule):
+        # min(d, (1+t)/(10+t)). Without it a short run keeps d_max^t of the
+        # random init in the average — measured FID 34 vs 0.89 at MNIST
+        # it1000 with a flat 0.999 (runs/mnist_ema/).
+        t = jnp.asarray(state.step, jnp.float32)
+        d = jnp.minimum(d_max, (1.0 + t) / (10.0 + t))
         ema = jax.tree.map(
             lambda e, p: (d * e + (1.0 - d) * p).astype(e.dtype),
             state.g_ema, state.g_vars["params"])

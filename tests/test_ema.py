@@ -62,7 +62,8 @@ def test_ema_lags_live_params():
 
 def test_ema_exact_recursion():
     """One chunk of n steps: EMA equals the hand-unrolled recursion over the
-    per-step params (run twice with per-step states to reconstruct)."""
+    per-step params (run twice with per-step states to reconstruct),
+    including the TF1 num_updates decay warmup min(d, (1+t)/(10+t))."""
     d = 0.9
     bundle, state, _ = _setup(g_ema_decay=d)
     mcfg_state = state
@@ -74,9 +75,10 @@ def test_ema_exact_recursion():
     chunk1 = make_train_chunk(bundle, tcfg, data_fn, jax.random.PRNGKey(0))
     ema = jax.tree.map(jnp.copy, mcfg_state.g_vars["params"])
     st = mcfg_state
-    for _ in range(3):
+    for t in range(1, 4):
         st, _ = chunk1(st)
-        ema = jax.tree.map(lambda e, p: d * e + (1 - d) * p, ema,
+        dt = min(d, (1.0 + t) / (10.0 + t))
+        ema = jax.tree.map(lambda e, p: dt * e + (1 - dt) * p, ema,
                            st.g_vars["params"])
     np.testing.assert_allclose(
         np.concatenate([np.ravel(x) for x in
@@ -84,6 +86,18 @@ def test_ema_exact_recursion():
         np.concatenate([np.ravel(x) for x in
                         jax.tree_util.tree_leaves(ema)]), rtol=2e-5,
         atol=1e-6)
+
+
+def test_ema_warmup_sheds_the_init():
+    """With a decay whose flat horizon exceeds the run length (0.999 over
+    10 steps), the warmup schedule keeps the weight on the random init
+    below prod_t (1+t)/(10+t) ~ 2e-3 — without it 0.999^10 ~ 0.99 of the
+    init would survive (the measured FID-34 failure, runs/mnist_ema/)."""
+    _, state0, chunk = _setup(g_ema_decay=0.999)
+    init = jax.tree.map(jnp.copy, state0.g_vars["params"])
+    state, _ = chunk(state0)  # 10 steps
+    # EMA must be far closer to the live params than to the init.
+    assert _l1(state.g_ema, state.g_vars["params"]) < _l1(state.g_ema, init)
 
 
 def test_ema_with_fused_prop():
