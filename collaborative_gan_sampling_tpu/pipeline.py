@@ -152,10 +152,22 @@ class Experiment:
         return state
 
     def load_or_train(self, niters: int | None = None) -> TrainState:
+        """Trained state at the configured iteration count: restore the
+        latest checkpoint, resuming training if it is behind
+        (train.niters or the ``niters`` override). Silently returning a
+        behind checkpoint mislabels every downstream metric — to evaluate
+        an intermediate checkpoint, set train.niters to its step (the
+        campaign runners' convention)."""
+        target = niters if niters is not None else self.cfg.train.niters
         try:
-            return self.load_state()
+            state = self.load_state()
         except FileNotFoundError:
             return self.train(niters=niters)
+        if int(state.step) < target:
+            print(f"[load_or_train] checkpoint at step {int(state.step)} < "
+                  f"niters {target}; resuming training", flush=True)
+            return self.train(niters=niters)
+        return state
 
     # -- sampling -----------------------------------------------------------
 

@@ -321,3 +321,24 @@ def test_cli_inspect(tmp_path, capsys):
     assert out["g_params"] > 0 and out["d_params"] > 0
     assert out["g_ema_tracked"] is True
     assert out["model_config"]["kind"] == "mlp"
+
+
+def test_load_or_train_resumes_behind_checkpoint(tmp_path):
+    """A checkpoint behind train.niters is topped up, not silently
+    returned (evaluating an it-N dir as it-M mislabels every metric)."""
+    import dataclasses
+
+    cfg = _tiny_toy_cfg(tmp_path / "topup")
+    exp = Experiment(cfg, echo_metrics=False)
+    state = exp.load_or_train()          # trains to cfg.train.niters (60)
+    assert int(state.step) == 60
+
+    cfg2 = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, niters=80))
+    exp2 = Experiment(cfg2, echo_metrics=False)
+    state2 = exp2.load_or_train()        # resumes 60 -> 80
+    assert int(state2.step) == 80
+
+    # At-or-ahead checkpoints load without training (niters override).
+    state3 = exp2.load_or_train(niters=40)
+    assert int(state3.step) == 80
