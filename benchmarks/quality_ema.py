@@ -29,6 +29,9 @@ def main():
     p.add_argument("--decay", type=float, default=0.999)
     p.add_argument("--k", type=int, default=20)
     p.add_argument("--rate", type=float, default=0.01)
+    p.add_argument("--shaping-lr", type=float, default=None,
+                   help="override refine.shaping_lr (gentle-shaping regime)")
+    p.add_argument("--shaping-decay", type=float, default=None)
     p.add_argument("--out", default="runs/mnist_ema")
     args = p.parse_args()
 
@@ -57,8 +60,13 @@ def main():
     ref_exp = exps["plain"][0]
     for name, (exp, state, cfg) in exps.items():
         for method in ("standard", "collab"):
+            shaping = {}
+            if args.shaping_lr is not None:
+                shaping["shaping_lr"] = args.shaping_lr
+            if args.shaping_decay is not None:
+                shaping["shaping_decay"] = args.shaping_decay
             rcfg = dataclasses.replace(cfg.refine, steps=args.k,
-                                       rate=args.rate)
+                                       rate=args.rate, **shaping)
             res = exp.sample(state, method=method, refine_cfg=rcfg)
             m = ref_exp.evaluate(res)
             table[f"{name}:{method}"] = m
