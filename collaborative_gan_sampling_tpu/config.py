@@ -123,6 +123,13 @@ class RefineConfig:
     # non-saturating loss (= JS-flow drift); 'kl' = -D, pure logit ascent
     # (with noise>0 this is the KL Langevin flow); 'saturating' =
     # -softplus(D), descent on log(1-D) (weights confident samples most)
+    space: str = "x"  # refinement space: 'x' = data space (the
+    # reference's scheme, x_{k+1} = x_k - rate*grad_x l(D(x))); 'z' =
+    # latent space (DGflow arXiv:2012.00780 section 4.1 for image models:
+    # drift z along -grad_z l(D(G(z))) so every iterate stays ON G's
+    # output manifold, then emit x = G(z_K)). 'z' applies to the
+    # draw-and-refine samplers (refinement/collab/serving); trajectory
+    # viz and refining externally provided x0 are x-space by nature.
     use_pallas: bool = True  # fused Pallas fast-path where supported
     use_s2d: bool = True  # space-to-depth conv-D refine fast path (exact
     # math in permuted coordinates; ops/refine_s2d.py)

@@ -145,10 +145,11 @@ def make_refine_fn(bundle: GANBundle, cfg: RefineConfig,
 def make_draw_refine_fn(bundle: GANBundle, cfg: RefineConfig, mesh=None):
     """Build `draw_refine(g_vars, d_vars, key, n) -> (x, labels, logits)` —
     the z-draw + G + K-step refinement unit every refinement-family sampler
-    runs per batch. When the s2d fast path applies, the WHOLE unit is fused
-    in s2d coordinates (G's output deconv emits s2d directly — see
-    ops/refine_s2d.py); otherwise it reproduces the historical
-    _draw-then-refine sequence with identical PRNG streams."""
+    runs per batch. With cfg.space == 'z' the K steps drift the latent
+    instead (see _make_draw_refine_z). When the x-space s2d fast path
+    applies, the WHOLE unit is fused in s2d coordinates (G's output deconv
+    emits s2d directly — see ops/refine_s2d.py); otherwise it reproduces
+    the historical _draw-then-refine sequence with identical PRNG streams."""
     from collaborative_gan_sampling_tpu.models.dcgan import DCGANGenerator
     from collaborative_gan_sampling_tpu.ops.refine_s2d import (
         make_draw_refine_s2d,
@@ -156,6 +157,11 @@ def make_draw_refine_fn(bundle: GANBundle, cfg: RefineConfig, mesh=None):
     )
     from collaborative_gan_sampling_tpu.parallel.mesh import constrain_batch
 
+    space = getattr(cfg, "space", "x")
+    if space not in ("x", "z"):
+        raise ValueError(f"refine.space must be 'x' or 'z', got {space!r}")
+    if space == "z":
+        return _make_draw_refine_z(bundle, cfg, mesh)
     noise = getattr(cfg, "noise", 0.0)
     if (supports_s2d_refine(bundle, cfg, False, noise)
             and isinstance(getattr(bundle, "g", None), DCGANGenerator)):
@@ -172,6 +178,57 @@ def make_draw_refine_fn(bundle: GANBundle, cfg: RefineConfig, mesh=None):
         x0 = bundle.generate(g_vars, z, labels, train=False)
         x, aux = refine(d_vars, x0, labels, key=jax.random.fold_in(key, 1))
         return x, labels, aux["logits"]
+
+    return draw_refine
+
+
+def _make_draw_refine_z(bundle: GANBundle, cfg: RefineConfig, mesh=None):
+    """Latent-space refinement (DGflow arXiv:2012.00780 section 4.1):
+
+        z_{k+1} = z_k - rate * grad_z l(D(G(z_k)))   (+ Langevin noise),
+        emit x = G(z_K),
+
+    with l the same per-sample objective family as x-space refinement.
+    Every iterate stays ON the generator's output manifold — the drift
+    moves *which* sample G produces rather than pushing pixels off-manifold,
+    which is the DGflow recipe for high-dimensional images. One lax.scan;
+    each step is a G-forward + D-forward + joint VJP, all XLA-fused; z
+    (B, z_dim) is the only carried state, O(1) memory in K."""
+    steps, rate, clip_norm = cfg.steps, cfg.rate, cfg.clip_norm
+    noise = getattr(cfg, "noise", 0.0)
+    objective = getattr(cfg, "objective", "ns")
+    from collaborative_gan_sampling_tpu.parallel.mesh import constrain_batch
+
+    def draw_refine(g_vars: Any, d_vars: Any, key: jax.Array, n: int,
+                    labels: jax.Array | None = None):
+        k_z, k_lab = jax.random.split(key)
+        z0 = constrain_batch(mesh, bundle.sample_z(k_z, n))
+        if bundle.conditional and labels is None:
+            labels = bundle.sample_labels(k_lab, n)
+
+        def loss_sum(z):
+            x = bundle.generate(g_vars, z, labels, train=False)
+            logits = bundle.discriminate(d_vars, x, labels, train=False)
+            return jnp.sum(refine_loss_per_sample(logits, objective))
+
+        grad_fn = jax.grad(loss_sum)
+
+        def step(z, k):
+            g = grad_fn(z)
+            if clip_norm > 0:
+                g = _clip_per_sample(g, clip_norm)
+            z_new = z - rate * g
+            if noise > 0:
+                z_new = z_new + jnp.sqrt(2.0 * rate * noise) * \
+                    jax.random.normal(k, z.shape, dtype=z.dtype)
+            return z_new, None
+
+        xs = (jax.random.split(jax.random.fold_in(key, 1), steps)
+              if noise > 0 else None)
+        z_k, _ = jax.lax.scan(step, z0, xs, length=steps)
+        x = bundle.generate(g_vars, z_k, labels, train=False)
+        logits = bundle.discriminate(d_vars, x, labels, train=False)
+        return x, labels, logits
 
     return draw_refine
 
