@@ -121,6 +121,7 @@ def main(argv: list[str] | None = None) -> int:
     sweep_steps = [1, 5, 10, 20, 50]
     tune_rates = None
     tune_objectives = None
+    tune_spaces = None
     gen_n, gen_out, gen_class = 10_000, "", None
     kept = []
     for ov in overrides:
@@ -130,6 +131,8 @@ def main(argv: list[str] | None = None) -> int:
             tune_rates = [float(s) for s in ov.split("=", 1)[1].split(",")]
         elif ov.startswith("tune_objectives="):
             tune_objectives = ov.split("=", 1)[1].split(",")
+        elif ov.startswith("tune_spaces="):
+            tune_spaces = ov.split("=", 1)[1].split(",")
         elif ov.startswith("n="):
             gen_n = int(ov.split("=", 1)[1])
         elif ov.startswith("out="):
@@ -213,17 +216,23 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.command == "tune":
-        # Joint (K, rate[, objective]) grid: per-checkpoint tuning
-        # ('tune_objectives=ns,kl,saturating' adds the third axis).
+        # Joint (K, rate[, objective][, space]) grid: per-checkpoint tuning
+        # ('tune_objectives=ns,kl,saturating' / 'tune_spaces=x,z' add axes;
+        # z-space wants ~5-10x larger rates, widen tune_rates accordingly).
         best, out = exp.select_hparams(
             state, sweep_steps, tune_rates,
             method=args.method or "refinement",
-            objectives=tune_objectives)
+            objectives=tune_objectives, spaces=tune_spaces)
+        names = ["k", "rate"]
         result = {"best_k": best[0], "best_rate": best[1]}
         if tune_objectives is not None:
-            result["best_objective"] = best[2]
+            names.append("obj")
+            result["best_objective"] = best[len(names) - 1]
+        if tune_spaces is not None:
+            names.append("space")
+            result["best_space"] = best[len(names) - 1]
         result["grid"] = {",".join(f"{n}={v}" for n, v in
-                                   zip(("k", "rate", "obj"), cell)): m
+                                   zip(names, cell)): m
                           for cell, m in out.items()}
         print(json.dumps(result))
         return 0

@@ -659,35 +659,46 @@ class Experiment:
                        method: str = "refinement",
                        metric: str | None = None,
                        objectives: list[str] | None = None,
+                       spaces: list[str] | None = None,
                        ) -> tuple[tuple, dict]:
-        """Joint (K, rate[, objective]) auto-tuning by validation metric
-        (VERDICT r1 item 2): the paper's finding is that refinement depth and
-        step size must be tuned *per checkpoint* — a rate that helps an
-        imperfect G over-shoots a well-trained one. The objective axis
-        (ns/kl/saturating) is optional; the objectives campaign measured a
-        further −4% from it at the MNIST it1000 checkpoint. Feature net +
-        real stats are built once; each grid cell is one compiled program
-        (K static, rate baked).
+        """Joint (K, rate[, objective][, space]) auto-tuning by validation
+        metric (VERDICT r1 item 2): the paper's finding is that refinement
+        depth and step size must be tuned *per checkpoint* — a rate that
+        helps an imperfect G over-shoots a well-trained one. The objective
+        axis (ns/kl/saturating) and the space axis (x-space vs DGflow
+        latent drift — note z wants ~5-10x larger rates than x, so pass a
+        grid spanning both scales) are optional; both measured material
+        wins at the MNIST it1000 checkpoint (−4% and −32%, BASELINE.md).
+        Feature net + real stats are built once; each grid cell is one
+        compiled program (K static, rate baked).
 
-        Returns ((best_k, best_rate), {(k, rate): metrics}) — or, with
-        `objectives`, ((best_k, best_rate, best_obj),
-        {(k, rate, obj): metrics})."""
+        Returns ((best_k, best_rate), {(k, rate): metrics}) — with
+        `objectives` and/or `spaces` the cells extend to
+        (k, rate[, obj][, space]) in that order."""
         import dataclasses
 
         ks = ks or [1, 5, 10, 20]
         rates = rates if rates is not None else self._default_rate_grid()
         metric = metric or ("kl" if self.is_2d else "fid")
         with_obj = objectives is not None
+        with_space = spaces is not None
         objs = objectives if with_obj else [self.cfg.refine.objective]
+        spcs = spaces if with_space else [
+            getattr(self.cfg.refine, "space", "x")]
         table: dict[tuple, dict] = {}
-        for obj in objs:
-            for rate in rates:
-                for k in ks:
-                    rcfg = dataclasses.replace(self.cfg.refine, steps=k,
-                                               rate=rate, objective=obj)
-                    res = self.sample(state, method=method, refine_cfg=rcfg)
-                    cell = (k, rate, obj) if with_obj else (k, rate)
-                    table[cell] = self.evaluate(res)
+        for space in spcs:
+            for obj in objs:
+                for rate in rates:
+                    for k in ks:
+                        rcfg = dataclasses.replace(
+                            self.cfg.refine, steps=k, rate=rate,
+                            objective=obj, space=space)
+                        res = self.sample(state, method=method,
+                                          refine_cfg=rcfg)
+                        cell = (k, rate)
+                        cell += (obj,) if with_obj else ()
+                        cell += (space,) if with_space else ()
+                        table[cell] = self.evaluate(res)
         best = min(table, key=lambda kr: table[kr][metric])
         return best, table
 

@@ -260,6 +260,23 @@ def test_select_hparams_objective_axis(tmp_path):
     assert {cell[2] for cell in table} == {"ns", "kl"}
 
 
+def test_select_hparams_space_axis(tmp_path):
+    """Optional space axis (refine.space x vs z): cells gain a trailing
+    space element; with objectives too the order is (k, rate, obj, space)."""
+    cfg = _tiny_toy_cfg(tmp_path / "run")
+    exp = Experiment(cfg, echo_metrics=False)
+    state = exp.train()
+    best, table = exp.select_hparams(
+        state, ks=[2], rates=[0.05], spaces=["x", "z"])
+    assert best in table and len(best) == 3
+    assert {cell[2] for cell in table} == {"x", "z"}
+
+    best4, table4 = exp.select_hparams(
+        state, ks=[2], rates=[0.05], objectives=["ns"], spaces=["z"])
+    assert best4 in table4 and len(best4) == 4
+    assert best4[2] == "ns" and best4[3] == "z"
+
+
 def test_cli_collab_auto_tune(tmp_path, capsys):
     workdir = str(tmp_path / "at")
     rc = cli_main(["train", "--config", "toy2d", "--workdir", workdir,
