@@ -174,6 +174,29 @@ def test_serving_under_mesh_matches_single_device():
     np.testing.assert_allclose(s1, s8, rtol=1e-5, atol=1e-6)
 
 
+def test_z_space_serving_and_mesh_parity():
+    """refine.space='z' flows through the serving path; DP mesh parity
+    holds for the latent-drift sampler too."""
+    from collaborative_gan_sampling_tpu.parallel import make_mesh
+
+    bundle, g_vars, d_vars = _bundle()
+    cfg = RefineConfig(steps=3, rate=0.1, num_batches=2, batch_size=32,
+                       burn_in=64, space="z", use_pallas=False)
+    key = jax.random.PRNGKey(6)
+    srv = ServingSampler(bundle, cfg, method="refinement")
+    x, _, acc, logits = srv.round(g_vars, d_vars, srv.calibrate(
+        g_vars, d_vars, jax.random.PRNGKey(1)), key)
+    assert x.shape == (64, 2) and bool(jnp.all(acc))
+
+    if len(jax.devices()) >= 8:
+        s1, _, _ = ServingSampler(bundle, cfg, method="refinement").generate(
+            g_vars, d_vars, key, n=50)
+        s8, _, _ = ServingSampler(bundle, cfg, method="refinement",
+                                  mesh=make_mesh()).generate(
+            g_vars, d_vars, key, n=50)
+        np.testing.assert_allclose(s1, s8, rtol=1e-5, atol=1e-6)
+
+
 def test_cli_generate(tmp_path, capsys):
     from collaborative_gan_sampling_tpu.cli import main
 
