@@ -122,6 +122,7 @@ def main(argv: list[str] | None = None) -> int:
     tune_rates = None
     tune_objectives = None
     tune_spaces = None
+    tune_stops = None
     gen_n, gen_out, gen_class = 10_000, "", None
     kept = []
     for ov in overrides:
@@ -133,6 +134,8 @@ def main(argv: list[str] | None = None) -> int:
             tune_objectives = ov.split("=", 1)[1].split(",")
         elif ov.startswith("tune_spaces="):
             tune_spaces = ov.split("=", 1)[1].split(",")
+        elif ov.startswith("tune_stops="):
+            tune_stops = [float(s) for s in ov.split("=", 1)[1].split(",")]
         elif ov.startswith("n="):
             gen_n = int(ov.split("=", 1)[1])
         elif ov.startswith("out="):
@@ -216,13 +219,15 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.command == "tune":
-        # Joint (K, rate[, objective][, space]) grid: per-checkpoint tuning
-        # ('tune_objectives=ns,kl,saturating' / 'tune_spaces=x,z' add axes;
-        # z-space wants ~5-10x larger rates, widen tune_rates accordingly).
+        # Joint (K, rate[, objective][, space][, stop]) grid: per-checkpoint
+        # tuning ('tune_objectives=ns,kl,saturating' / 'tune_spaces=x,z' /
+        # 'tune_stops=0,0.5,0.9' add axes; z-space wants ~5-10x larger
+        # rates, widen tune_rates accordingly).
         best, out = exp.select_hparams(
             state, sweep_steps, tune_rates,
             method=args.method or "refinement",
-            objectives=tune_objectives, spaces=tune_spaces)
+            objectives=tune_objectives, spaces=tune_spaces,
+            stops=tune_stops)
         names = ["k", "rate"]
         result = {"best_k": best[0], "best_rate": best[1]}
         if tune_objectives is not None:
@@ -231,6 +236,9 @@ def main(argv: list[str] | None = None) -> int:
         if tune_spaces is not None:
             names.append("space")
             result["best_space"] = best[len(names) - 1]
+        if tune_stops is not None:
+            names.append("stop")
+            result["best_stop"] = best[len(names) - 1]
         result["grid"] = {",".join(f"{n}={v}" for n, v in
                                    zip(names, cell)): m
                           for cell, m in out.items()}

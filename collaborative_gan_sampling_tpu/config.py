@@ -130,6 +130,14 @@ class RefineConfig:
     # output manifold, then emit x = G(z_K)). 'z' applies to the
     # draw-and-refine samplers (refinement/collab/serving); trajectory
     # viz and refining externally provided x0 are x-space by nature.
+    stop_score: float = 0.0  # per-sample early stop: freeze a sample once
+    # sigmoid(D(x)) >= stop_score, i.e. once D already believes it is real.
+    # Refinement ascends D's score, so with a hot (K, rate) samples keep
+    # climbing into D's adversarial/off-manifold region past plausibility —
+    # the overshoot failure mode the quality campaigns hit at well-trained
+    # checkpoints (BASELINE.md). A threshold bounds the ascent per sample
+    # instead of per run, making results robust to (K, rate) mis-tuning.
+    # 0 = off (reference behavior); 0.5 = stop at D's decision boundary.
     use_pallas: bool = True  # fused Pallas fast-path where supported
     use_s2d: bool = True  # space-to-depth conv-D refine fast path (exact
     # math in permuted coordinates; ops/refine_s2d.py)

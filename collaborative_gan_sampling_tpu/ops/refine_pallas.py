@@ -171,4 +171,5 @@ def supports_pallas_refine(bundle, cfg, labels) -> bool:
     return (isinstance(getattr(bundle, "d", None), MLPDiscriminator)
             and labels is None and cfg.clip_norm == 0 and cfg.use_pallas
             and getattr(cfg, "objective", "ns") == "ns"
+            and getattr(cfg, "stop_score", 0.0) == 0.0
             and jax.default_backend() == "tpu")

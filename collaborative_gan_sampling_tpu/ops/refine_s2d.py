@@ -203,25 +203,30 @@ def _make_s2d_scan(d_fwd, cfg):
     refinement loop entirely in s2d coordinates."""
     from collaborative_gan_sampling_tpu.sampling.refine import (
         _clip_per_sample,
+        _freeze_stopped,
         refine_loss_per_sample,
     )
 
     steps, rate, clip_norm = cfg.steps, cfg.rate, cfg.clip_norm
     objective = getattr(cfg, "objective", "ns")
+    stop_score = getattr(cfg, "stop_score", 0.0)
 
     def scan(d_vars: Any, x_s2d: jax.Array,
              labels: jax.Array | None = None):
         def loss_sum(x):
-            return jnp.sum(refine_loss_per_sample(
-                d_fwd(d_vars, x, labels), objective))
+            logits = d_fwd(d_vars, x, labels)
+            return jnp.sum(refine_loss_per_sample(logits, objective)), logits
 
-        grad_fn = jax.grad(loss_sum)
+        grad_fn = jax.grad(loss_sum, has_aux=True)
 
         def step(x, _):
-            g = grad_fn(x)
+            g, logits = grad_fn(x)
             if clip_norm > 0:
                 g = _clip_per_sample(g, clip_norm)
-            return x - rate * g, None
+            x_new = x - rate * g
+            if stop_score > 0:
+                x_new = _freeze_stopped(x_new, x, logits, stop_score)
+            return x_new, None
 
         x_k, _ = jax.lax.scan(step, x_s2d, None, length=steps)
         return x_k, d_fwd(d_vars, x_k, labels)

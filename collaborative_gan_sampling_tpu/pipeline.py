@@ -660,6 +660,7 @@ class Experiment:
                        metric: str | None = None,
                        objectives: list[str] | None = None,
                        spaces: list[str] | None = None,
+                       stops: list[float] | None = None,
                        ) -> tuple[tuple, dict]:
         """Joint (K, rate[, objective][, space]) auto-tuning by validation
         metric (VERDICT r1 item 2): the paper's finding is that refinement
@@ -673,8 +674,11 @@ class Experiment:
         compiled program (K static, rate baked).
 
         Returns ((best_k, best_rate), {(k, rate): metrics}) — with
-        `objectives` and/or `spaces` the cells extend to
-        (k, rate[, obj][, space]) in that order."""
+        `objectives`/`spaces`/`stops` the cells extend to
+        (k, rate[, obj][, space][, stop]) in that order. The `stops` axis
+        tunes the per-sample early-stop threshold (stop_score); at
+        well-trained checkpoints it caps the over-shoot that otherwise
+        forces the (K, rate) grid to extreme corners."""
         import dataclasses
 
         ks = ks or [1, 5, 10, 20]
@@ -682,23 +686,29 @@ class Experiment:
         metric = metric or ("kl" if self.is_2d else "fid")
         with_obj = objectives is not None
         with_space = spaces is not None
+        with_stop = stops is not None
         objs = objectives if with_obj else [self.cfg.refine.objective]
         spcs = spaces if with_space else [
             getattr(self.cfg.refine, "space", "x")]
+        stps = stops if with_stop else [
+            getattr(self.cfg.refine, "stop_score", 0.0)]
         table: dict[tuple, dict] = {}
-        for space in spcs:
-            for obj in objs:
-                for rate in rates:
-                    for k in ks:
-                        rcfg = dataclasses.replace(
-                            self.cfg.refine, steps=k, rate=rate,
-                            objective=obj, space=space)
-                        res = self.sample(state, method=method,
-                                          refine_cfg=rcfg)
-                        cell = (k, rate)
-                        cell += (obj,) if with_obj else ()
-                        cell += (space,) if with_space else ()
-                        table[cell] = self.evaluate(res)
+        for stop in stps:
+            for space in spcs:
+                for obj in objs:
+                    for rate in rates:
+                        for k in ks:
+                            rcfg = dataclasses.replace(
+                                self.cfg.refine, steps=k, rate=rate,
+                                objective=obj, space=space,
+                                stop_score=stop)
+                            res = self.sample(state, method=method,
+                                              refine_cfg=rcfg)
+                            cell = (k, rate)
+                            cell += (obj,) if with_obj else ()
+                            cell += (space,) if with_space else ()
+                            cell += (stop,) if with_stop else ()
+                            table[cell] = self.evaluate(res)
         best = min(table, key=lambda kr: table[kr][metric])
         return best, table
 

@@ -71,6 +71,18 @@ def _clip_per_sample(g: jax.Array, max_norm: float) -> jax.Array:
     return g * scale
 
 
+def _freeze_stopped(x_new: jax.Array, x: jax.Array, logits: jax.Array,
+                    stop_score: float) -> jax.Array:
+    """Keep x (not x_new) for samples D already scores >= stop_score.
+
+    The mask uses the logits at x (before the update): a sample crossing
+    the threshold takes no further steps, bounding the D-score ascent per
+    sample instead of per run (see RefineConfig.stop_score)."""
+    active = jax.nn.sigmoid(logits) < stop_score
+    return jnp.where(active.reshape(active.shape + (1,) * (x.ndim - 1)),
+                     x_new, x)
+
+
 def make_refine_fn(bundle: GANBundle, cfg: RefineConfig,
                    return_trajectory: bool = False) -> Callable:
     """Build `refine(d_vars, x0, labels=None) -> (x_K, aux)`.
@@ -81,6 +93,7 @@ def make_refine_fn(bundle: GANBundle, cfg: RefineConfig,
     steps, rate, clip_norm = cfg.steps, cfg.rate, cfg.clip_norm
     noise = getattr(cfg, "noise", 0.0)
     objective = getattr(cfg, "objective", "ns")
+    stop_score = getattr(cfg, "stop_score", 0.0)
 
     def refine(d_vars: Any, x0: jax.Array,
                labels: jax.Array | None = None,
@@ -112,9 +125,9 @@ def make_refine_fn(bundle: GANBundle, cfg: RefineConfig,
                      key: jax.Array | None = None):
         def loss_sum(x):
             logits = bundle.discriminate(d_vars, x, labels, train=False)
-            return jnp.sum(refine_loss_per_sample(logits, objective))
+            return jnp.sum(refine_loss_per_sample(logits, objective)), logits
 
-        grad_fn = jax.grad(loss_sum)
+        grad_fn = jax.grad(loss_sum, has_aux=True)
         if noise > 0 and key is None:
             # Deterministic fallback seed from x0 would break independence;
             # derive from a fixed key — callers wanting proper streams pass
@@ -122,13 +135,15 @@ def make_refine_fn(bundle: GANBundle, cfg: RefineConfig,
             key = jax.random.PRNGKey(0)
 
         def step(x, k):
-            g = grad_fn(x)
+            g, logits = grad_fn(x)
             if clip_norm > 0:
                 g = _clip_per_sample(g, clip_norm)
             x_new = x - rate * g
             if noise > 0:
                 x_new = x_new + jnp.sqrt(2.0 * rate * noise) * \
                     jax.random.normal(k, x.shape, dtype=x.dtype)
+            if stop_score > 0:
+                x_new = _freeze_stopped(x_new, x, logits, stop_score)
             return x_new, (x_new if return_trajectory else None)
 
         xs = (jax.random.split(key, steps) if noise > 0 else None)
@@ -197,6 +212,7 @@ def _make_draw_refine_z(bundle: GANBundle, cfg: RefineConfig, mesh=None):
     steps, rate, clip_norm = cfg.steps, cfg.rate, cfg.clip_norm
     noise = getattr(cfg, "noise", 0.0)
     objective = getattr(cfg, "objective", "ns")
+    stop_score = getattr(cfg, "stop_score", 0.0)
     from collaborative_gan_sampling_tpu.parallel.mesh import constrain_batch
 
     def draw_refine(g_vars: Any, d_vars: Any, key: jax.Array, n: int,
@@ -209,18 +225,20 @@ def _make_draw_refine_z(bundle: GANBundle, cfg: RefineConfig, mesh=None):
         def loss_sum(z):
             x = bundle.generate(g_vars, z, labels, train=False)
             logits = bundle.discriminate(d_vars, x, labels, train=False)
-            return jnp.sum(refine_loss_per_sample(logits, objective))
+            return jnp.sum(refine_loss_per_sample(logits, objective)), logits
 
-        grad_fn = jax.grad(loss_sum)
+        grad_fn = jax.grad(loss_sum, has_aux=True)
 
         def step(z, k):
-            g = grad_fn(z)
+            g, logits = grad_fn(z)
             if clip_norm > 0:
                 g = _clip_per_sample(g, clip_norm)
             z_new = z - rate * g
             if noise > 0:
                 z_new = z_new + jnp.sqrt(2.0 * rate * noise) * \
                     jax.random.normal(k, z.shape, dtype=z.dtype)
+            if stop_score > 0:
+                z_new = _freeze_stopped(z_new, z, logits, stop_score)
             return z_new, None
 
         xs = (jax.random.split(jax.random.fold_in(key, 1), steps)

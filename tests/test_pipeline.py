@@ -277,6 +277,24 @@ def test_select_hparams_space_axis(tmp_path):
     assert best4[2] == "ns" and best4[3] == "z"
 
 
+def test_select_hparams_stop_axis(tmp_path):
+    """Optional early-stop axis (refine.stop_score): cells gain a trailing
+    stop element; full order is (k, rate, obj, space, stop)."""
+    cfg = _tiny_toy_cfg(tmp_path / "run")
+    exp = Experiment(cfg, echo_metrics=False)
+    state = exp.train()
+    best, table = exp.select_hparams(
+        state, ks=[2], rates=[0.05], stops=[0.0, 0.5])
+    assert best in table and len(best) == 3
+    assert {cell[2] for cell in table} == {0.0, 0.5}
+
+    best5, table5 = exp.select_hparams(
+        state, ks=[2], rates=[0.05], objectives=["ns"], spaces=["x"],
+        stops=[0.5])
+    assert best5 in table5 and len(best5) == 5
+    assert best5[2:] == ("ns", "x", 0.5)
+
+
 def test_cli_collab_auto_tune(tmp_path, capsys):
     workdir = str(tmp_path / "at")
     rc = cli_main(["train", "--config", "toy2d", "--workdir", workdir,
