@@ -1,0 +1,61 @@
+"""Shared helpers for the quality-campaign runner scripts.
+
+Each benchmarks/quality_*.py measures one question on one checkpoint
+within one process (same feature net, same fixed procedural stream —
+only within-run orderings are comparable across processes; BASELINE.md).
+This module holds the common setup/run/save plumbing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def floats(csv: str) -> list[float]:
+    return [float(s) for s in csv.split(",")]
+
+
+def make_experiment(preset: str, iters: int, workdir: str, **train_kw):
+    """Build the Experiment on `workdir`'s checkpoint (trains if absent)."""
+    from collaborative_gan_sampling_tpu.config import get_preset
+    from collaborative_gan_sampling_tpu.pipeline import Experiment
+    from collaborative_gan_sampling_tpu.utils.compile_cache import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
+    cfg = get_preset(preset)
+    cfg = cfg.replace(workdir=workdir,
+                      train=dataclasses.replace(cfg.train, niters=iters,
+                                                **train_kw))
+    exp = Experiment(cfg, echo_metrics=False)
+    return exp, exp.load_or_train(), cfg
+
+
+class Runner:
+    """Accumulates named (method, refine_cfg) cells into a results table."""
+
+    def __init__(self, exp, state):
+        self.exp, self.state = exp, state
+        self.table: dict[str, dict] = {}
+
+    def run(self, name: str, method: str, rcfg=None) -> dict:
+        res = self.exp.sample(self.state, method=method, refine_cfg=rcfg)
+        m = self.exp.evaluate(res)
+        self.table[name] = m
+        print(json.dumps({"method": name, "fid": round(m["fid"], 4),
+                          "accept": round(res.accept_rate, 3)}), flush=True)
+        return m
+
+    def save(self, out_dir: str, filename: str) -> str:
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, filename)
+        with open(path, "w") as fh:
+            json.dump(self.table, fh, indent=2)
+        print(f"wrote {path}")
+        return path

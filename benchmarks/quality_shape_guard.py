@@ -8,6 +8,10 @@ the shaping trust-region knobs (shaping_anchor, shaping_decay,
 shaping_target) at the hot setting to find a safe default that rescues
 collab without per-checkpoint schedule tuning.
 
+Measured (runs/celeba_q3/shape_guard_it2000.json): shaping_decay=0.8
+recovers most of the damage (3.75 -> 2.35) but not to parity; the L2-SP
+anchor alone barely moves it (its win is conditional-embedding-specific).
+
 Usage:
   python benchmarks/quality_shape_guard.py --preset celeba --iters 2000 \
       --workdir runs/celeba_q3/it2000 --k 20 --rate 0.03 \
@@ -18,11 +22,8 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
-import json
-import os
-import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from _campaign import Runner, floats, make_experiment
 
 
 def main():
@@ -40,52 +41,23 @@ def main():
                    help="refine.stop_score to combine with the guards")
     p.add_argument("--out", default="runs/celeba_q3")
     args = p.parse_args()
-    anchors = [float(s) for s in args.anchors.split(",")]
-    decays = [float(s) for s in args.decays.split(",")]
-    targets = [float(s) for s in args.targets.split(",")]
 
-    from collaborative_gan_sampling_tpu.config import get_preset
-    from collaborative_gan_sampling_tpu.pipeline import Experiment
-    from collaborative_gan_sampling_tpu.utils.compile_cache import (
-        enable_compile_cache,
-    )
-
-    enable_compile_cache()
-    cfg = get_preset(args.preset)
-    cfg = cfg.replace(workdir=args.workdir,
-                      train=dataclasses.replace(cfg.train,
-                                                niters=args.iters))
-    exp = Experiment(cfg, echo_metrics=False)
-    state = exp.load_or_train()
-
+    exp, state, cfg = make_experiment(args.preset, args.iters, args.workdir)
     base = dataclasses.replace(cfg.refine, steps=args.k, rate=args.rate,
                                stop_score=args.stop)
-    table = {}
-
-    def run(name, method, rcfg):
-        res = exp.sample(state, method=method, refine_cfg=rcfg)
-        m = exp.evaluate(res)
-        table[name] = m
-        print(json.dumps({"method": name, "fid": round(m["fid"], 4),
-                          "accept": round(res.accept_rate, 3)}), flush=True)
-
-    run("standard", "standard", None)
-    run("refinement", "refinement", base)
-    for anchor in anchors:
-        for decay in decays:
-            for target in targets:
+    r = Runner(exp, state)
+    r.run("standard", "standard")
+    r.run("refinement", "refinement", base)
+    for anchor in floats(args.anchors):
+        for decay in floats(args.decays):
+            for target in floats(args.targets):
                 rcfg = dataclasses.replace(base, shaping_anchor=anchor,
                                            shaping_decay=decay,
                                            shaping_target=target)
-                run(f"collab:anchor={anchor}:decay={decay}:target={target}",
-                    "collab", rcfg)
-
-    os.makedirs(args.out, exist_ok=True)
-    path = os.path.join(args.out, f"shape_guard_it{args.iters}.json")
-    with open(path, "w") as fh:
-        json.dump(table, fh, indent=2)
-    print(f"wrote {path}")
+                r.run(f"collab:anchor={anchor}:decay={decay}:target={target}",
+                      "collab", rcfg)
+    r.save(args.out, f"shape_guard_it{args.iters}.json")
 
 
 if __name__ == "__main__":
-    sys.exit(main() or 0)
+    main()

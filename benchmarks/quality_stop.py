@@ -17,11 +17,8 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
-import json
-import os
-import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from _campaign import Runner, floats, make_experiment
 
 
 def main():
@@ -36,47 +33,18 @@ def main():
                    help="comma list of stop_score thresholds (0 = off)")
     p.add_argument("--out", default="runs/mnist_q3")
     args = p.parse_args()
-    rates = [float(s) for s in args.rates.split(",")]
-    stops = [float(s) for s in args.stops.split(",")]
 
-    from collaborative_gan_sampling_tpu.config import get_preset
-    from collaborative_gan_sampling_tpu.pipeline import Experiment
-    from collaborative_gan_sampling_tpu.utils.compile_cache import (
-        enable_compile_cache,
-    )
-
-    enable_compile_cache()
-    cfg = get_preset(args.preset)
-    cfg = cfg.replace(workdir=args.workdir,
-                      train=dataclasses.replace(cfg.train,
-                                                niters=args.iters))
-    exp = Experiment(cfg, echo_metrics=False)
-    state = exp.load_or_train()
-
-    table = {}
-    std = exp.evaluate(exp.sample(state, method="standard"))
-    table["standard"] = std
-    print(json.dumps({"method": "standard", "fid": round(std["fid"], 4)}),
-          flush=True)
+    exp, state, cfg = make_experiment(args.preset, args.iters, args.workdir)
+    r = Runner(exp, state)
+    r.run("standard", "standard")
     for method in ("refinement", "collab"):
-        for rate in rates:
-            for stop in stops:
+        for rate in floats(args.rates):
+            for stop in floats(args.stops):
                 rcfg = dataclasses.replace(cfg.refine, steps=args.k,
                                            rate=rate, stop_score=stop)
-                res = exp.sample(state, method=method, refine_cfg=rcfg)
-                m = exp.evaluate(res)
-                name = f"{method}:rate={rate}:stop={stop}"
-                table[name] = {**m, "rate": rate, "stop_score": stop}
-                print(json.dumps({"method": name,
-                                  "fid": round(m["fid"], 4),
-                                  "accept": round(res.accept_rate, 3)}),
-                      flush=True)
-
-    os.makedirs(args.out, exist_ok=True)
-    path = os.path.join(args.out, f"stop_it{args.iters}.json")
-    with open(path, "w") as fh:
-        json.dump(table, fh, indent=2)
-    print(f"wrote {path}")
+                m = r.run(f"{method}:rate={rate}:stop={stop}", method, rcfg)
+                m.update(rate=rate, stop_score=stop)
+    r.save(args.out, f"stop_it{args.iters}.json")
 
 
 if __name__ == "__main__":

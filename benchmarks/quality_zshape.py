@@ -7,6 +7,10 @@ This runner grids the collab-specific knobs (shaping_lr, shaping_decay,
 gamma_percentile) at a fixed tuned (K, rate, space='z') to answer whether
 shaping/rejection help at all in z-space once tuned for it.
 
+Measured answer (runs/mnist_q3/zshape_it1000.json): yes — at
+lr=1e-4, decay=0.8, percentile=50, z-collab 0.568 beats z-refinement
+0.658 (standard 0.888), restoring the paper's full-method ordering.
+
 Usage:
   python benchmarks/quality_zshape.py --preset mnist --iters 1000 \
       --workdir runs/mnist_q3/it1000 --k 20 --rate 0.05 --out runs/mnist_q3
@@ -16,11 +20,8 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
-import json
-import os
-import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from _campaign import Runner, floats, make_experiment
 
 
 def main():
@@ -36,51 +37,22 @@ def main():
                    help="gamma_percentile grid (lower = more accepting)")
     p.add_argument("--out", default="runs/mnist_q3")
     args = p.parse_args()
-    lrs = [float(s) for s in args.shaping_lrs.split(",")]
-    decays = [float(s) for s in args.decays.split(",")]
-    pcts = [float(s) for s in args.percentiles.split(",")]
 
-    from collaborative_gan_sampling_tpu.config import get_preset
-    from collaborative_gan_sampling_tpu.pipeline import Experiment
-    from collaborative_gan_sampling_tpu.utils.compile_cache import (
-        enable_compile_cache,
-    )
-
-    enable_compile_cache()
-    cfg = get_preset(args.preset)
-    cfg = cfg.replace(workdir=args.workdir,
-                      train=dataclasses.replace(cfg.train,
-                                                niters=args.iters))
-    exp = Experiment(cfg, echo_metrics=False)
-    state = exp.load_or_train()
-
+    exp, state, cfg = make_experiment(args.preset, args.iters, args.workdir)
     base = dataclasses.replace(cfg.refine, steps=args.k, rate=args.rate,
                                space="z")
-    table = {}
-
-    def run(name, method, rcfg):
-        res = exp.sample(state, method=method, refine_cfg=rcfg)
-        m = exp.evaluate(res)
-        table[name] = m
-        print(json.dumps({"method": name, "fid": round(m["fid"], 4),
-                          "accept": round(res.accept_rate, 3)}), flush=True)
-
-    run("standard", "standard", None)
-    run("z-refinement", "refinement", base)
-    for lr in lrs:
-        for decay in decays:
-            for pct in pcts:
+    r = Runner(exp, state)
+    r.run("standard", "standard")
+    r.run("z-refinement", "refinement", base)
+    for lr in floats(args.shaping_lrs):
+        for decay in floats(args.decays):
+            for pct in floats(args.percentiles):
                 rcfg = dataclasses.replace(base, shaping_lr=lr,
                                            shaping_decay=decay,
                                            gamma_percentile=pct)
-                run(f"z-collab:lr={lr}:decay={decay}:pct={pct}",
-                    "collab", rcfg)
-
-    os.makedirs(args.out, exist_ok=True)
-    path = os.path.join(args.out, f"zshape_it{args.iters}.json")
-    with open(path, "w") as fh:
-        json.dump(table, fh, indent=2)
-    print(f"wrote {path}")
+                r.run(f"z-collab:lr={lr}:decay={decay}:pct={pct}",
+                      "collab", rcfg)
+    r.save(args.out, f"zshape_it{args.iters}.json")
 
 
 if __name__ == "__main__":

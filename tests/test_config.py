@@ -42,3 +42,21 @@ def test_overrides_nested_and_types():
 def test_override_unknown_field_raises():
     with pytest.raises(KeyError):
         apply_overrides(get_preset("toy2d"), ["train.nope=1"])
+
+
+def test_cli_safe_flag_overlays_guards():
+    """--safe applies the measured self-guarding recipe (stop_score=0.5,
+    shaping_target=0.5) BEFORE user overrides, so explicit keys win."""
+    import argparse
+
+    from collaborative_gan_sampling_tpu.cli import _build_cfg
+
+    args = argparse.Namespace(config="mnist", workdir="", safe=True)
+    cfg = _build_cfg(args, ["refine.stop_score=0.7"])
+    assert cfg.refine.stop_score == pytest.approx(0.7)  # explicit wins
+    assert cfg.refine.shaping_target == pytest.approx(0.5)
+
+    plain = _build_cfg(argparse.Namespace(config="mnist", workdir="",
+                                          safe=False), [])
+    assert plain.refine.stop_score == 0.0  # reference-parity default
+    assert plain.refine.shaping_target == 0.0
