@@ -35,10 +35,13 @@ def main():
     p.add_argument("--decays", default="0.8,1.0")
     p.add_argument("--percentiles", default="50,80",
                    help="gamma_percentile grid (lower = more accepting)")
+    p.add_argument("--ema", type=float, default=0.0,
+                   help="train.g_ema_decay (sampling uses the EMA G)")
     p.add_argument("--out", default="runs/mnist_q3")
     args = p.parse_args()
 
-    exp, state, cfg = make_experiment(args.preset, args.iters, args.workdir)
+    exp, state, cfg = make_experiment(args.preset, args.iters, args.workdir,
+                                      g_ema_decay=args.ema)
     base = dataclasses.replace(cfg.refine, steps=args.k, rate=args.rate,
                                space="z")
     r = Runner(exp, state)
