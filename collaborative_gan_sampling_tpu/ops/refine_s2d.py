@@ -217,6 +217,12 @@ def _make_s2d_scan(d_fwd, cfg):
             logits = d_fwd(d_vars, x, labels)
             return jnp.sum(refine_loss_per_sample(logits, objective)), logits
 
+        # Recompute D's forward in the VJP instead of stashing conv
+        # activations: the pipeline is HBM-bound at this shape, and dropping
+        # the activation writes+reads measures ~2% faster end-to-end
+        # (benchmarks/probe_refine_remat.py) at identical numerics.
+        loss_sum = jax.checkpoint(
+            loss_sum, policy=jax.checkpoint_policies.nothing_saveable)
         grad_fn = jax.grad(loss_sum, has_aux=True)
 
         def step(x, _):
