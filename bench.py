@@ -21,7 +21,8 @@ import jax
 
 
 def measure_refine_throughput(batch_size: int, steps_k: int,
-                              rounds: int = 20, repeats: int = 3) -> dict:
+                              rounds: int = 20, repeats: int = 3,
+                              preset: str = "mnist") -> dict:
     """Refined samples/sec with the full G(z)->refine-K pipeline.
 
     Measurement protocol: the repeat loop over `rounds` sample batches lives
@@ -42,7 +43,7 @@ def measure_refine_throughput(batch_size: int, steps_k: int,
         make_draw_refine_fn,
     )
 
-    cfg = get_preset("mnist")
+    cfg = get_preset(preset)
     rcfg = dataclasses.replace(cfg.refine, steps=steps_k)
     bundle = make_bundle(cfg.model)
     g_vars, d_vars = bundle.init(jax.random.PRNGKey(0))
@@ -76,7 +77,8 @@ def measure_refine_throughput(batch_size: int, steps_k: int,
         "batch_size": batch_size,
         "steps_k": steps_k,
         "rounds": rounds,
-        "mfu_pct": round(100.0 * sps * _pipeline_flops_per_sample(steps_k)
+        "mfu_pct": round(100.0 * sps
+                         * _pipeline_flops_per_sample(cfg.model, steps_k)
                          / BF16_PEAK_FLOPS, 1),
         "device": str(jax.devices()[0]),
     }
@@ -86,20 +88,34 @@ def measure_refine_throughput(batch_size: int, steps_k: int,
 BF16_PEAK_FLOPS = 197e12
 
 
-def _pipeline_flops_per_sample(steps_k: int) -> float:
-    """Analytic FLOPs/sample of the measured pipeline (MNIST-28 preset:
-    z=100, gf=df=64). XLA's cost_analysis under-reports on this backend, so
-    MFU uses this hand count:
-
-    D fwd:  conv0 14*14*64*25*1*2 + conv1 7*7*128*25*64*2 + dense 6272*2
-            = 20.71 MFLOP
-    refine step = D fwd + input-VJP (equal FLOPs)       = 41.42 MFLOP
-    G:      project 100*6272*2 + bn + deconv0 7*7*128*25*64*2
-            + deconv_out 14*14*64*25*1*2                = 21.33 MFLOP
-    total = G + K * step + final D fwd.
+def _pipeline_flops_per_sample(mcfg, steps_k: int) -> float:
+    """Analytic FLOPs/sample of the z->G->refine(K)->D pipeline for any
+    DCGAN preset (5x5 stride-2 convs/deconvs throughout; MACs x2). XLA's
+    cost_analysis under-reports on this backend, so MFU uses this hand
+    count. refine step = D fwd + input-VJP (equal FLOPs); total =
+    G + (2K + 1) * D_fwd. For the MNIST-28 preset this reproduces the
+    round-2 hand count (D fwd 20.71 MFLOP, G 21.33 MFLOP).
     """
-    d_fwd = (14 * 14 * 64 * 25 * 1 + 7 * 7 * 128 * 25 * 64 + 6272) * 2
-    g_fwd = (100 * 6272 + 7 * 7 * 128 * 25 * 64 + 14 * 14 * 64 * 25) * 2
+    from collaborative_gan_sampling_tpu.models.dcgan import num_stages
+
+    s, c = mcfg.image_size, mcfg.channels
+    base, gbase, z = mcfg.d_base_filters, mcfg.g_base_filters, mcfg.z_dim
+    n = num_stages(s)
+    d_fwd = (s // 2) ** 2 * base * 25 * c
+    for i in range(1, n):
+        d_fwd += ((s // 2 ** (i + 1)) ** 2 * (base * 2 ** i) * 25
+                  * (base * 2 ** (i - 1)))
+    d_fwd += (s // 2 ** n) ** 2 * base * 2 ** (n - 1)  # dense head
+    d_fwd *= 2
+    s0, ch0 = s // 2 ** n, gbase * 2 ** (n - 1)
+    g_fwd = z * (s0 * s0 * ch0)  # projection
+    sp, inch = s0, ch0
+    for i in range(n - 1):
+        outch = gbase * 2 ** (n - 2 - i)
+        g_fwd += sp * sp * inch * 25 * outch
+        sp, inch = sp * 2, outch
+    g_fwd += sp * sp * inch * 25 * c  # deconv_out
+    g_fwd *= 2
     return g_fwd + (2 * steps_k + 1) * d_fwd
 
 
@@ -112,22 +128,33 @@ def main() -> int:
     enable_compile_cache()
     p.add_argument("--batch", type=int, default=2048)
     p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--preset", default="mnist",
+                   help="model preset to measure (mnist, celeba, ...); "
+                        "the driver metric is the mnist default")
     p.add_argument("--no-tf-baseline", action="store_true")
     args = p.parse_args()
 
-    ours = measure_refine_throughput(args.batch, args.steps)
+    ours = measure_refine_throughput(args.batch, args.steps,
+                                     preset=args.preset)
 
     baseline_sps = None
     if not args.no_tf_baseline:
         try:
             from benchmarks.tf1_reference import get_or_measure_baseline
-            base = get_or_measure_baseline(steps_k=args.steps)
+            kw = {"steps_k": args.steps}
+            if args.preset != "mnist":
+                from collaborative_gan_sampling_tpu.config import get_preset
+                m = get_preset(args.preset).model
+                kw.update(batch_size=64, num_batches=2,
+                          image_size=m.image_size, channels=m.channels)
+            base = get_or_measure_baseline(**kw)
             baseline_sps = base["samples_per_sec"]
         except Exception as e:  # TF baseline is best-effort
             print(f"tf1 baseline unavailable: {e}", file=sys.stderr)
 
     result = {
-        "metric": f"refined_samples_per_sec_per_chip_k{args.steps}_mnist",
+        "metric": (f"refined_samples_per_sec_per_chip_k{args.steps}_"
+                   f"{args.preset}"),
         "value": round(ours["samples_per_sec"], 1),
         "unit": "samples/sec",
         "vs_baseline": (round(ours["samples_per_sec"] / baseline_sps, 1)
