@@ -1,0 +1,119 @@
+"""Tuned conditional-campaign closure (ROADMAP item 4 follow-through).
+
+The intra-FID instrumentation run (BASELINE.md) showed collab *losing* to
+standard on conditional CIFAR-10 at it1000 — but at a fixed, untuned
+(K=5, rate=0.005) setting inherited from another campaign. Every
+unconditional config flipped from "collab loses" to "collab wins" once
+(K, rate) were tuned per checkpoint; this campaign runs the same protocol
+on the conditional preset, tuning directly on collab FID (shaping
+interacts with (K, rate), so the refinement-FID proxy under-tunes the
+collaborative arm), then measures the conditional-shaping mitigations at
+the tuned setting within one process:
+
+  * plain collab (tuned)
+  * collab + shaping_class_weight (class-stratified shaping loss)
+  * collab + shaping_anchor=1.0 (L2-SP trust region)
+  * collab --safe (stop_score=0.5 + shaping_target=0.5)
+
+Usage:
+  python benchmarks/quality_conditional_closure.py --iters 1000 \
+      --out runs/cifar10_q3
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--preset", default="cifar10")
+    p.add_argument("--num-classes", type=int, default=10)
+    p.add_argument("--iters", type=int, default=1000)
+    p.add_argument("--ks", type=int, nargs="+", default=[2, 5, 10, 20])
+    p.add_argument("--rates", type=float, nargs="+",
+                   default=[0.001, 0.005, 0.01, 0.03])
+    p.add_argument("--intra", type=int, default=10,
+                   help="intra-FID class count for the final table")
+    p.add_argument("--burn-in", type=int, default=8192)
+    p.add_argument("--out", default="runs/cifar10_q3")
+    args = p.parse_args()
+
+    from collaborative_gan_sampling_tpu.config import get_preset
+    from collaborative_gan_sampling_tpu.pipeline import Experiment
+    from collaborative_gan_sampling_tpu.utils.compile_cache import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
+    cfg = get_preset(args.preset)
+    cfg = cfg.replace(
+        workdir=os.path.join(args.out, f"cond_it{args.iters}"),
+        model=dataclasses.replace(cfg.model, num_classes=args.num_classes),
+        train=dataclasses.replace(cfg.train, niters=args.iters),
+        refine=dataclasses.replace(cfg.refine, burn_in=args.burn_in),
+        eval=dataclasses.replace(cfg.eval, fid_num_samples=2048),
+    )
+    exp = Experiment(cfg, echo_metrics=False)
+    state = exp.load_or_train()
+    print(f"[cond {args.preset} it{args.iters}] trained to "
+          f"{int(state.step)}", flush=True)
+
+    # Tune (K, rate) on collab FID directly (2048-sample eval keeps the
+    # grid cheap; same protocol as the earlier conditional runs).
+    (best_k, best_rate), grid = exp.select_hparams(
+        state, ks=args.ks, rates=args.rates, method="collab")
+    print(f"[cond] best (K, rate) = ({best_k}, {best_rate})", flush=True)
+
+    # Final table with intra-FID at the tuned setting.
+    cfg_f = cfg.replace(eval=dataclasses.replace(
+        cfg.eval, intra_fid_classes=args.intra))
+    exp_f = Experiment(cfg_f, echo_metrics=False)
+    # Reuse the tuning phase's feature net + real stats (same process, same
+    # stream — within-run comparability).
+    exp_f._cached_feature_fn = exp._feature_fn()
+    exp_f._feature_label = exp._feature_label
+    if hasattr(exp, "_real_stats"):
+        exp_f._real_stats = exp._real_stats
+
+    table = {}
+
+    def run(name, method, **refine_overrides):
+        rcfg = dataclasses.replace(cfg.refine, steps=best_k, rate=best_rate,
+                                   **refine_overrides)
+        res = exp_f.sample(state, method=method, refine_cfg=rcfg)
+        m = exp_f.evaluate(res)
+        table[name] = {**m, "accept_rate": res.accept_rate}
+        print(json.dumps({"method": name, "fid": round(m["fid"], 4),
+                          "intra": round(m.get("intra_fid", -1.0), 4),
+                          "accept": round(res.accept_rate, 3)}), flush=True)
+
+    run("standard", "standard")
+    run("reject", "reject")
+    run("refinement", "refinement")
+    run("collab", "collab")
+    run("collab:class_weight", "collab", shaping_class_weight=True)
+    run("collab:anchor=1", "collab", shaping_anchor=1.0)
+    run("collab:safe", "collab", stop_score=0.5, shaping_target=0.5)
+
+    result = {
+        "preset": args.preset, "num_classes": args.num_classes,
+        "niters": args.iters, "best_k": best_k, "best_rate": best_rate,
+        "grid": {f"k={k},rate={r}": m for (k, r), m in grid.items()},
+        "table": table,
+    }
+    os.makedirs(args.out, exist_ok=True)
+    path = os.path.join(args.out, f"cond_closure_it{args.iters}.json")
+    with open(path, "w") as fh:
+        json.dump(result, fh, indent=2)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

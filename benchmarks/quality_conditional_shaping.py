@@ -10,6 +10,8 @@ one process (same feature net, same stream):
     rows frozen; their per-row gradient is ~batch/num_classes samples of
     noise).
   * ``refine.shaping_anchor`` — L2-SP trust region toward the restored D.
+  * ``refine.shaping_class_weight`` — class-stratified shaping loss (each
+    class present in the batch contributes equally).
 
 Usage:
   python benchmarks/quality_conditional_shaping.py --iters 2000 \
@@ -74,6 +76,7 @@ def main():
     run("reject", "reject")
     run("collab", "collab")
     run("collab:freeze_embed", "collab", shaping_freeze_embed=True)
+    run("collab:class_weight", "collab", shaping_class_weight=True)
     for a in [float(s) for s in args.anchors.split(",") if s]:
         run(f"collab:anchor={a:g}", "collab", shaping_anchor=a)
         run(f"collab:freeze+anchor={a:g}", "collab",

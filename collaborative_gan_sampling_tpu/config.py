@@ -169,6 +169,11 @@ class RefineConfig:
     # trunk — with many classes and small batches the per-class embedding
     # gradient is noise (~batch/num_classes samples per row) while the trunk
     # sees the full batch
+    shaping_class_weight: bool = False  # conditional models: stratify the
+    # shaping loss by class (inverse-frequency per-sample weights; each class
+    # present in the batch contributes equally) so skewed label draws cannot
+    # let frequent classes drown rare ones in the shaping gradient. Exact
+    # no-op on class-balanced batches.
     shaping_anchor: float = 0.0  # L2-SP trust region: add
     # 0.5 * anchor * ||d_params - d_params_restored||^2 to the shaping loss
     # so the shaped D cannot drift far from the trained one; a principled

@@ -303,7 +303,9 @@ def _sample_collab(bundle, g_vars, d_vars, cfg, key, data_fn, mesh,
         bundle, cfg.shaping_lr, decay=getattr(cfg, "shaping_decay", 1.0),
         target=getattr(cfg, "shaping_target", 0.0),
         freeze_embed=getattr(cfg, "shaping_freeze_embed", False),
-        anchor=anchor)
+        anchor=anchor,
+        class_weight=(getattr(cfg, "shaping_class_weight", False)
+                      and bundle.conditional))
     # Trust-region anchor: the D params we restored with, captured once.
     anchor_params = d_vars["params"] if anchor > 0 else None
     shaping_state0, _ = create_shaping_state(

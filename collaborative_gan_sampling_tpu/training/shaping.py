@@ -53,6 +53,20 @@ def create_shaping_state(d_vars: Any, lr: float, decay: float = 1.0
                         step=jnp.zeros((), jnp.int32)), tx
 
 
+def _class_weights(labels: jax.Array, num_classes: int) -> jax.Array:
+    """Per-sample inverse-frequency weights, normalized to mean 1.
+
+    Each class *present in the batch* contributes equally to a weighted-mean
+    loss (class-stratified shaping): with C_present distinct labels, a class
+    with cnt samples gets per-sample weight B / (C_present * cnt). A
+    class-balanced batch (all counts equal) yields all-ones — the weighting
+    is exactly a no-op there, so it only acts when the label draw is skewed."""
+    cnt = jnp.zeros((num_classes,), jnp.float32).at[labels].add(1.0)
+    present = jnp.sum((cnt > 0).astype(jnp.float32))
+    w = jnp.where(cnt > 0, 1.0 / jnp.maximum(cnt, 1.0), 0.0)[labels]
+    return w * (labels.shape[0] / jnp.maximum(present, 1.0))
+
+
 def _embed_grad_mask(params: Any) -> Any:
     """1.0/0.0 mask over the D param tree zeroing class-embedding subtrees.
 
@@ -72,7 +86,7 @@ def _embed_grad_mask(params: Any) -> Any:
 
 def make_shaping_step(bundle: GANBundle, lr: float, decay: float = 1.0,
                       target: float = 0.0, freeze_embed: bool = False,
-                      anchor: float = 0.0):
+                      anchor: float = 0.0, class_weight: bool = False):
     """Build `shape_step(state, x_real, x_refined, labels_r, labels_f)
     -> (state, d_loss)` — one D update on a (real, refined) pair.
 
@@ -85,8 +99,12 @@ def make_shaping_step(bundle: GANBundle, lr: float, decay: float = 1.0,
     ``freeze_embed`` zeroes gradients on class-embedding params (trunk-only
     shaping for many-class conditional models); ``anchor > 0`` adds an
     L2-SP trust-region term ``0.5 * anchor * ||p - p_restored||^2`` pulling
-    the shaped D toward the D it started from."""
+    the shaped D toward the D it started from; ``class_weight`` stratifies
+    the loss by class (conditional models): each class present in the batch
+    contributes equally, so frequent classes cannot drown rare ones in the
+    shaping gradient (exactly a no-op on class-balanced batches)."""
     tx = _make_tx(lr, decay)
+    num_classes = bundle.num_classes if class_weight else 0
 
     def shape_step(state: ShapingState, x_real, x_refined,
                    labels_r=None, labels_f=None, anchor_params=None):
@@ -100,7 +118,13 @@ def make_shaping_step(bundle: GANBundle, lr: float, decay: float = 1.0,
             lr_fake, upd2 = bundle.discriminate(d_vars2, x_refined, labels_f,
                                                 train=True)
             sep = jnp.mean(lr_real) - jnp.mean(lr_fake)
-            loss = nonsaturating_d_loss(lr_real, lr_fake)
+            if class_weight and labels_f is not None and labels_r is not None:
+                w_r = _class_weights(labels_r, num_classes)
+                w_f = _class_weights(labels_f, num_classes)
+                loss = (jnp.mean(w_r * jax.nn.softplus(-lr_real))
+                        + jnp.mean(w_f * jax.nn.softplus(lr_fake)))
+            else:
+                loss = nonsaturating_d_loss(lr_real, lr_fake)
             if anchor > 0 and anchor_params is not None:
                 # Standard L2-SP: 0.5 * anchor * ||p - p_restored||^2 (sum
                 # over ALL params, so the pull-back gradient on each param

@@ -125,3 +125,46 @@ def test_fused_works_with_batchnorm_models():
     assert int(state.step) == 2
     for v in m.values():
         assert np.isfinite(float(v))
+
+
+def test_fused_bn_stats_thread_real_then_fake():
+    """D's running BN stats after one fused step must match the alternating
+    trainer's semantics: real-pass stats applied first, fake-pass stats on
+    top (ADVICE r1: an early fused version discarded the real-pass stats,
+    so eval-mode D logits drifted from the d_update trainer's)."""
+    from collaborative_gan_sampling_tpu.config import DataConfig
+    from collaborative_gan_sampling_tpu.data import load_image_dataset
+    from collaborative_gan_sampling_tpu.training.gan import _merge_stats
+
+    mcfg = ModelConfig(kind="dcgan", z_dim=8, image_size=16, channels=1,
+                       g_base_filters=8, d_base_filters=8,
+                       compute_dtype="float32")
+    bundle = make_bundle(mcfg)
+    ds = load_image_dataset(DataConfig(dataset="mnist"), image_size=16,
+                            procedural_n=64)
+    data_fn = lambda key, n: (ds.batch(key, n)[0], None)
+    tcfg = TrainConfig(batch_size=16, steps_per_call=1, fused_prop=True)
+    base = jax.random.PRNGKey(0)
+    chunk = make_train_chunk(bundle, tcfg, data_fn, base)
+    state1, _ = chunk(create_train_state(bundle, tcfg, base))
+    # The chunk donates its input state; rebuild the (deterministic) initial
+    # state for the oracle below.
+    state0 = create_train_state(bundle, tcfg, base)
+
+    # Oracle: same draw (fused_update splits step_key(base, 0, 'data') into
+    # (data, z, labels)), real pass then fake pass from the initial stats.
+    key = step_key(base, jnp.int32(0), "data")
+    k_data, k_z, _ = jax.random.split(key, 3)
+    x_real, _ = data_fn(k_data, 16)
+    z = bundle.sample_z(k_z, 16)
+    x_fake, _ = bundle.generate(state0.g_vars, z, train=True)
+    _, upd_r = bundle.discriminate(state0.d_vars, x_real, train=True)
+    d_vars_r = _merge_stats(state0.d_vars, upd_r)
+    _, upd_f = bundle.discriminate(d_vars_r, x_fake, train=True)
+    expected = _merge_stats(d_vars_r, upd_f)["batch_stats"]
+
+    got = state1.d_vars["batch_stats"]
+    for e, g in zip(jax.tree_util.tree_leaves(expected),
+                    jax.tree_util.tree_leaves(got)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(e),
+                                   rtol=1e-5, atol=1e-6)

@@ -96,3 +96,31 @@ def test_image_folder_loader(tmp_path):
     imgs, labels = ds.batch(jax.random.PRNGKey(0), 4)
     assert imgs.shape == (4, 64, 64, 3)
     assert labels is None
+
+
+def test_idx_loader_image_size_override(tmp_path):
+    """model.image_size smaller than the file's native resolution resizes
+    on load (ADVICE r1: the idx/CIFAR paths used to ignore the override and
+    hand the trainer mismatched real/fake shapes)."""
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 256, (10, 28, 28), dtype=np.uint8)
+    labels = rng.integers(0, 10, (10,), dtype=np.uint8)
+    _write_idx_images(tmp_path / "train-images-idx3-ubyte", imgs)
+    _write_idx_labels(tmp_path / "train-labels-idx1-ubyte", labels)
+    ds = load_image_dataset(DataConfig(dataset="mnist", path=str(tmp_path)),
+                            image_size=16)
+    assert not ds.procedural
+    assert ds.images.shape == (10, 16, 16, 1)
+    assert ds.labels.shape == (10,)
+
+
+def test_cifar_loader_image_size_override(tmp_path):
+    rng = np.random.default_rng(4)
+    for i in range(1, 6):
+        data = rng.integers(0, 256, (4, 3072), dtype=np.uint8)
+        with open(tmp_path / f"data_batch_{i}", "wb") as fh:
+            pickle.dump({b"data": data,
+                         b"labels": list(rng.integers(0, 10, 4))}, fh)
+    ds = load_image_dataset(DataConfig(dataset="cifar10", path=str(tmp_path)),
+                            image_size=16)
+    assert ds.images.shape == (20, 16, 16, 3)

@@ -185,3 +185,78 @@ def test_per_class_drs_end_to_end(method):
     assert res.accepted.shape == (48,)
     assert np.asarray(res.aux["logit_max"]).shape == (4,)
     assert 0.0 < res.accept_rate <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# class-stratified shaping (RefineConfig.shaping_class_weight)
+# ---------------------------------------------------------------------------
+
+
+def test_class_weights_properties():
+    from collaborative_gan_sampling_tpu.training.shaping import (
+        _class_weights,
+    )
+
+    # Balanced batch: exactly all-ones (the weighting is a no-op).
+    balanced = jnp.array([0, 1, 2, 0, 1, 2], jnp.int32)
+    np.testing.assert_allclose(np.asarray(_class_weights(balanced, 3)),
+                               np.ones(6), rtol=1e-6)
+
+    # Skewed batch: per-class totals equal, mean weight 1.
+    skewed = jnp.array([0, 0, 0, 1], jnp.int32)
+    w = np.asarray(_class_weights(skewed, 4))
+    assert w.mean() == pytest.approx(1.0, rel=1e-6)
+    assert w[:3].sum() == pytest.approx(w[3], rel=1e-6)  # class totals equal
+    assert w[3] > w[0]  # rare class up-weighted
+
+
+def test_shaping_class_weight_balanced_batch_matches_unweighted():
+    """On a class-balanced batch the stratified loss equals the plain
+    non-saturating loss exactly — weighting only acts on skewed draws."""
+    from collaborative_gan_sampling_tpu.training.shaping import (
+        create_shaping_state,
+        make_shaping_step,
+    )
+
+    mcfg = ModelConfig(kind="dcgan", z_dim=8, image_size=16, channels=1,
+                       g_base_filters=8, d_base_filters=8, num_classes=4,
+                       compute_dtype="float32")
+    bundle = make_bundle(mcfg)
+    _, d_vars = bundle.init(jax.random.PRNGKey(0))
+    labels = jnp.tile(jnp.arange(4, dtype=jnp.int32), 4)  # balanced, B=16
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    x_real = jax.random.uniform(k1, (16, 16, 16, 1), minval=-1.0, maxval=1.0)
+    x_fake = jax.random.uniform(k2, (16, 16, 16, 1), minval=-1.0, maxval=1.0)
+
+    losses = {}
+    for cw in (False, True):
+        step = make_shaping_step(bundle, lr=1e-3, class_weight=cw)
+        st, _ = create_shaping_state(d_vars, 1e-3)
+        st, loss = jax.jit(step)(st, x_real, x_fake, labels, labels)
+        losses[cw] = float(loss)
+    assert losses[True] == pytest.approx(losses[False], rel=1e-6)
+
+
+def test_shaping_class_weight_end_to_end():
+    """shaping_class_weight composes inside the jitted collab scan."""
+    from collaborative_gan_sampling_tpu.sampling.collab import sample
+
+    mcfg = ModelConfig(kind="dcgan", z_dim=8, image_size=16, channels=1,
+                       g_base_filters=8, d_base_filters=8, num_classes=4,
+                       compute_dtype="float32")
+    bundle = make_bundle(mcfg)
+    g_vars, d_vars = bundle.init(jax.random.PRNGKey(0))
+    cfg = RefineConfig(method="collab", steps=2, rate=0.05, num_batches=3,
+                       batch_size=16, burn_in=32, shape_every=1,
+                       shaping_class_weight=True, use_pallas=False)
+
+    def data_fn(key, n):
+        k1, k2 = jax.random.split(key)
+        x = jax.random.uniform(k1, (n, 16, 16, 1), minval=-1.0, maxval=1.0)
+        return x, jax.random.randint(k2, (n,), 0, 4)
+
+    res = sample(bundle, g_vars, d_vars, cfg, jax.random.PRNGKey(1),
+                 method="collab", data_fn=data_fn)
+    assert int(res.aux["shaping_steps_done"]) == 3
+    for leaf in jax.tree_util.tree_leaves(res.aux["shaped_d_vars"]):
+        assert bool(jnp.isfinite(leaf).all())
