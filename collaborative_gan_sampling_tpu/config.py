@@ -155,7 +155,7 @@ class RefineConfig:
     mh_chain_len: int = 40
     # Discriminator shaping (C11):
     shape_every: int = 1  # shape D every m refined batches (0 = never)
-    shaping_steps: int = 1  # D updates per shaping event
+    shaping_steps: int = 1  # D updates per shaping event (0 = none)
     shaping_lr: float = 1e-4
     shaping_decay: float = 1.0  # lr multiplier per shaping update (<1 =
     # exponential decay schedule; the paper's 'anneal shaping' variant)

@@ -142,14 +142,17 @@ def _find(root: str, names: list[str]) -> str | None:
     return None
 
 
-def _load_mnist_like(root: str) -> tuple[np.ndarray, np.ndarray] | None:
+def _load_mnist_like(root: str) -> tuple[np.ndarray, np.ndarray | None] | None:
     imgs_p = _find(root, ["train-images-idx3-ubyte", "train-images.idx3-ubyte"])
     labs_p = _find(root, ["train-labels-idx1-ubyte", "train-labels.idx1-ubyte"])
     if imgs_p is None:
         return None
     images = _load_idx(imgs_p)[..., None]  # (N, 28, 28, 1)
-    labels = (_load_idx(labs_p).astype(np.int32)
-              if labs_p else np.zeros(len(images), np.int32))
+    # No labels file -> genuinely unlabeled (labels=None routes downstream
+    # to RotNet features / unconditional handling). Fabricating zeros here
+    # would silently train a 1-class 'trained_classifier' feature net (zero
+    # gradient signal) and feed conditional models all-class-0 real batches.
+    labels = _load_idx(labs_p).astype(np.int32) if labs_p else None
     return images, labels
 
 

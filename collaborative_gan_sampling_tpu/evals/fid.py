@@ -63,7 +63,11 @@ def streaming_stats(feature_fn: Callable, batch_fn: Callable,
     large means (e.g. relu classifier features), inflating the FID noise
     floor by orders of magnitude.
     """
-    feat_dim = feature_fn(batch_fn(key, 1)).shape[-1]
+    # Shape-only discovery of the feature dim: eval_shape traces without
+    # compiling or running anything (a real batch-1 call would execute a
+    # full sampler + feature-net forward just to read one integer).
+    feat_dim = jax.eval_shape(
+        lambda k: feature_fn(batch_fn(k, 1)), key).shape[-1]
 
     def body(carry, i):
         n_a, mu_a, m2_a = carry

@@ -20,6 +20,11 @@ Fidelity notes:
   2x InceptionE (Mixed_7b-7c), global average pool -> 2048 features.
 * Every conv is bias-free conv + BatchNorm(eps=1e-3, frozen running stats)
   + relu, matching torchvision's ``BasicConv2d``.
+* Pooling follows the FID graph exactly as pytorch-fid patches torchvision:
+  the 3x3/s1 branch avg-pools COUNT-EXCLUDE padding (border windows divide
+  by the real element count), and Mixed_7c's pool branch is a MAX pool
+  (FIDInceptionE_2) — both deviations of the original TF graph from the
+  stock torchvision model.
 * Module/parameter names mirror torchvision's (``Mixed_5b.branch5x5_1`` ...)
   so ``params_from_torch_state_dict`` is a pure transpose-and-rename: the
   pytorch-fid weight file is directly convertible.
@@ -66,7 +71,17 @@ class BasicConv(nn.Module):
 
 
 def _avg_pool_3x3_same(x):
-    return nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME")
+    # count_include_pad=False: border cells divide by the number of REAL
+    # elements in the window (4/6 at corners/edges), matching the original
+    # TF FID graph and pytorch-fid's patched FIDInceptionA/C/E blocks —
+    # the flax default (True) divides every cell by 9 and shifts border
+    # activations, breaking feature parity with converted FID weights.
+    return nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME",
+                       count_include_pad=False)
+
+
+def _max_pool_3x3_same(x):
+    return nn.max_pool(x, (3, 3), strides=(1, 1), padding="SAME")
 
 
 def _max_pool_3x3_s2(x):
@@ -145,6 +160,12 @@ class InceptionD(nn.Module):
 
 
 class InceptionE(nn.Module):
+    """pool_branch='avg' is Mixed_7b (FIDInceptionE_1: count-excluding avg
+    pool); 'max' is Mixed_7c (FIDInceptionE_2), where the original TF FID
+    graph — and pytorch-fid's patched torchvision port — uses a MAX pool
+    for the pool branch."""
+
+    pool_branch: str = "avg"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -162,8 +183,9 @@ class InceptionE(nn.Module):
             BasicConv(384, (1, 3), dtype=d, name="branch3x3dbl_3a")(bd),
             BasicConv(384, (3, 1), dtype=d, name="branch3x3dbl_3b")(bd),
         ], axis=-1)
-        bp = BasicConv(192, (1, 1), dtype=d,
-                       name="branch_pool")(_avg_pool_3x3_same(x))
+        pooled = (_max_pool_3x3_same(x) if self.pool_branch == "max"
+                  else _avg_pool_3x3_same(x))
+        bp = BasicConv(192, (1, 1), dtype=d, name="branch_pool")(pooled)
         return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
 
@@ -196,8 +218,8 @@ class InceptionV3Features(nn.Module):
         x = InceptionC(160, dtype=d, name="Mixed_6d")(x)
         x = InceptionC(192, dtype=d, name="Mixed_6e")(x)
         x = InceptionD(dtype=d, name="Mixed_7a")(x)
-        x = InceptionE(dtype=d, name="Mixed_7b")(x)
-        x = InceptionE(dtype=d, name="Mixed_7c")(x)
+        x = InceptionE(pool_branch="avg", dtype=d, name="Mixed_7b")(x)
+        x = InceptionE(pool_branch="max", dtype=d, name="Mixed_7c")(x)
         return jnp.mean(x, axis=(1, 2)).astype(jnp.float32)  # pool3
 
 

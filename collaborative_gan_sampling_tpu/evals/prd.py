@@ -61,7 +61,17 @@ def precision_recall(real_feats: jax.Array, fake_feats: jax.Array,
 
     Returns {'precision', 'recall'} in [0, 1]. Use the same feature network
     as FID for comparability.
+
+    Both pools must exceed k points: with n <= k the k-th-NN radius is the
+    +inf-masked self-distance, every query trivially "belongs" to the
+    manifold, and precision/recall silently read 1.0 for a nearly-empty
+    pool — an error, not a score.
     """
+    if real_feats.shape[0] <= k or fake_feats.shape[0] <= k:
+        raise ValueError(
+            f"precision_recall needs > k={k} points per pool, got "
+            f"{real_feats.shape[0]} real / {fake_feats.shape[0]} fake "
+            "(k-NN radii are undefined; guard tiny accepted pools upstream)")
     r_real = knn_radii(real_feats, k)
     r_fake = knn_radii(fake_feats, k)
     precision = jnp.mean(

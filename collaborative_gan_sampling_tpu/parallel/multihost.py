@@ -31,16 +31,42 @@ def maybe_initialize_distributed() -> bool:
         return True
     coord = os.environ.get("JAX_COORDINATOR_ADDRESS", "")
     n_proc = os.environ.get("JAX_NUM_PROCESSES", "")
-    if not coord:
-        return False
-    import jax
+    if coord:
+        import jax
 
-    kwargs = {"coordinator_address": coord}
-    if n_proc:
-        kwargs["num_processes"] = int(n_proc)
-        pid = os.environ.get("JAX_PROCESS_ID", "")
-        if pid:
-            kwargs["process_id"] = int(pid)
-    jax.distributed.initialize(**kwargs)
-    _INITIALIZED = True
-    return True
+        kwargs = {"coordinator_address": coord}
+        if n_proc:
+            kwargs["num_processes"] = int(n_proc)
+            pid = os.environ.get("JAX_PROCESS_ID", "")
+            if pid:
+                kwargs["process_id"] = int(pid)
+        jax.distributed.initialize(**kwargs)
+        _INITIALIZED = True
+        return True
+    if _cluster_scheduler_detected():
+        # jax.distributed.initialize() auto-detects coordinator/process
+        # topology on recognised schedulers (Slurm, Open MPI, Cloud TPU
+        # pods) — the docstring's second detection branch.
+        import jax
+
+        jax.distributed.initialize()
+        _INITIALIZED = True
+        return True
+    return False
+
+
+def _cluster_scheduler_detected() -> bool:
+    """True when a multi-process cluster scheduler environment is present
+    (jax's own auto-detection will then succeed without explicit addresses).
+    Strictly conservative: single-process allocations return False."""
+    if int(os.environ.get("SLURM_NTASKS", "1") or 1) > 1:
+        return True
+    if int(os.environ.get("OMPI_COMM_WORLD_SIZE", "1") or 1) > 1:
+        return True
+    # Cloud TPU pod/multislice markers (set by the TPU runtime on multi-host
+    # slices; absent on single-host machines like this one).
+    if os.environ.get("TPU_WORKER_HOSTNAMES", ""):
+        return len(os.environ["TPU_WORKER_HOSTNAMES"].split(",")) > 1
+    if os.environ.get("MEGASCALE_COORDINATOR_ADDRESS", ""):
+        return True
+    return False

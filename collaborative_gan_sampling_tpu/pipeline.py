@@ -125,7 +125,8 @@ class Experiment:
                 else:
                     state, metrics = chunk(state)
                 step = int(state.step)  # host sync: chunk fully materialized
-                iters_per_s = spc / (_time.perf_counter() - t0)
+                steps_run = min(remaining, spc)  # tail chunk runs < spc
+                iters_per_s = steps_run / (_time.perf_counter() - t0)
                 if step % max(spc, cfg.train.log_every) < spc or step >= niters:
                     writer.write(step, phase="train",
                                  iters_per_s=round(iters_per_s, 2), **metrics)
@@ -221,6 +222,11 @@ class Experiment:
                                   key=jax.random.fold_in(key, 0))
                 self.save_shaped_d(res)
                 d_vars = res.aux["shaped_d_vars"]
+        elif use_shaped_d:
+            # Honor the flag for every method (as sample() does): serving
+            # refinement/rejection under a previously shaped D is the
+            # 'train once, shape once, refine many times' path.
+            d_vars = self.load_shaped_d(template=state.d_vars)
         srv = ServingSampler(self.bundle, self.cfg.refine, method=method,
                              mesh=self.mesh, class_id=class_id)
         samples, labels, stats = srv.generate(
@@ -398,6 +404,35 @@ class Experiment:
                                           cfg.fid_batch_size, k))(key)
         return self._real_stats
 
+    @staticmethod
+    def _accepted_pool(result: SampleResult, n: int | None = None
+                       ) -> tuple[jax.Array, jax.Array | None]:
+        """Host-compacted accepted subset (samples, labels|None), first-n.
+
+        The single place the accepted-mask compaction lives: every eval
+        path shares one definition of "the pool being scored" (and one
+        empty-pool shape to guard against)."""
+        samples, labels = result.samples, result.labels
+        if result.accepted is not None:
+            mask = jax.device_get(result.accepted).astype(bool)
+            samples = jax.device_get(samples)[mask]
+            if labels is not None:
+                labels = jax.device_get(labels)[mask]
+        samples = jnp.asarray(samples)
+        if n is not None:
+            samples = samples[:n]
+            if labels is not None:
+                labels = jnp.asarray(labels)[:n]
+        return samples, (jnp.asarray(labels) if labels is not None else None)
+
+    def _feats_of(self, x: jax.Array, bs: int) -> tuple[jax.Array, int]:
+        """Batched feature extraction: (features, rows_used). `bs` must be
+        in [1, x.shape[0]] — callers guard empty pools first."""
+        feature_fn = self._feature_fn()
+        m = (x.shape[0] // bs) * bs
+        f = jax.lax.map(feature_fn, x[:m].reshape(-1, bs, *x.shape[1:]))
+        return f.reshape(-1, f.shape[-1]), m
+
     def fid_of_samples(self, samples: jax.Array,
                        accepted: jax.Array | None = None) -> float:
         """FID between the real stats and a pool of samples (optionally the
@@ -405,7 +440,7 @@ class Experiment:
         from collaborative_gan_sampling_tpu.evals.fid import (
             stats_from_features,
         )
-        feature_fn = self._feature_fn()
+        self._feature_fn()
         if accepted is not None:
             mask = jax.device_get(accepted).astype(bool)
             samples = jax.device_get(samples)[mask]
@@ -414,13 +449,9 @@ class Experiment:
             # Nothing accepted (e.g. aggressive gamma): FID is undefined;
             # +inf keeps sweeps/tuners well-ordered instead of crashing.
             return float("inf")
-        bs = self.cfg.eval.fid_batch_size
-        n = (samples.shape[0] // bs) * bs
-        if n == 0:
-            n, bs = samples.shape[0], samples.shape[0]
-        feats = jax.lax.map(feature_fn,
-                            samples[:n].reshape(-1, bs, *samples.shape[1:]))
-        stats = stats_from_features(feats.reshape(-1, feats.shape[-1]))
+        bs = min(self.cfg.eval.fid_batch_size, samples.shape[0])
+        feats, _ = self._feats_of(samples, bs)
+        stats = stats_from_features(feats)
         # eval.newton_schulz_iters > 0 selects the on-device all-matmul
         # Newton-Schulz cross term (MXU path, f32); the default (0) is the
         # f64 host eigh path — f32 cannot resolve FIDs that are ~1e-5 of the
@@ -462,25 +493,16 @@ class Experiment:
 
         ecfg = self.cfg.eval
         n = n or ecfg.fid_num_samples
-        feature_fn = self._feature_fn()
-        samples, labels_f = result.samples, result.labels
-        if result.accepted is not None:
-            mask = jax.device_get(result.accepted).astype(bool)
-            samples = jax.device_get(samples)[mask]
-            labels_f = jax.device_get(labels_f)[mask]
-        samples = jnp.asarray(samples)[:n]
-        labels_f = jnp.asarray(labels_f)[:n]
+        self._feature_fn()
+        samples, labels_f = self._accepted_pool(result, n)
+        if samples.shape[0] == 0:
+            # Empty accepted pool: undefined, +inf (same contract as FID).
+            return {"intra_fid": float("inf"), "intra_fid_classes": 0.0}
         key = step_key(self.base_key, 5, "eval")
         x_real, labels_r = self.dataset.batch(key, min(n, samples.shape[0]))
         bs = min(ecfg.fid_batch_size, samples.shape[0], x_real.shape[0])
-
-        def feats_of(x):
-            m = (x.shape[0] // bs) * bs
-            f = jax.lax.map(feature_fn, x[:m].reshape(-1, bs, *x.shape[1:]))
-            return f.reshape(-1, f.shape[-1]), m
-
-        fr, mr = feats_of(x_real)
-        ff, mf = feats_of(samples)
+        fr, mr = self._feats_of(x_real, bs)
+        ff, mf = self._feats_of(samples, bs)
         res = per_class_fid(fr, labels_r[:mr], ff, labels_f[:mf],
                             min_count=ecfg.intra_fid_min_count,
                             max_classes=ecfg.intra_fid_classes)
@@ -496,25 +518,17 @@ class Experiment:
 
         ecfg = self.cfg.eval
         n = n or ecfg.fid_num_samples
-        feature_fn = self._feature_fn()
-        samples = result.samples
-        if result.accepted is not None:
-            mask = jax.device_get(result.accepted).astype(bool)
-            samples = jax.device_get(samples)[mask]
-        samples = jnp.asarray(samples)[:n]
+        self._feature_fn()
+        samples, _ = self._accepted_pool(result, n)
         if samples.shape[0] < 2:
             return {"kid": float("inf"), "kid_std": 0.0}
         key = step_key(self.base_key, 4, "eval")
         x_real, _ = self.data_fn(key, min(n, samples.shape[0]))
         bs = min(ecfg.fid_batch_size, samples.shape[0], x_real.shape[0])
 
-        def feats_of(x):
-            m = (x.shape[0] // bs) * bs
-            f = jax.lax.map(feature_fn, x[:m].reshape(-1, bs, *x.shape[1:]))
-            return f.reshape(-1, f.shape[-1])
-
         mean, std = jax.jit(
-            lambda a, b, k: kid(feats_of(a), feats_of(b), k,
+            lambda a, b, k: kid(self._feats_of(a, bs)[0],
+                                self._feats_of(b, bs)[0], k,
                                 n_subsets=ecfg.kid_subsets,
                                 subset_size=ecfg.kid_subset_size)
         )(x_real, samples, jax.random.fold_in(key, 1))
@@ -531,24 +545,20 @@ class Experiment:
         )
 
         n = n or self.cfg.eval.prd_samples or 2048
-        feature_fn = self._feature_fn()
-        samples = result.samples
-        if result.accepted is not None:
-            mask = jax.device_get(result.accepted).astype(bool)
-            samples = jax.device_get(samples)[mask]
-        samples = jnp.asarray(samples)[:n]
+        self._feature_fn()
+        samples, _ = self._accepted_pool(result, n)
+        if samples.shape[0] <= self.cfg.eval.prd_k:
+            # k-NN radii are undefined for pools of <= k points (an
+            # aggressive-gamma run can accept almost nothing): report zero
+            # realism/coverage rather than crashing or the trivial 1.0.
+            return {"precision": 0.0, "recall": 0.0}
         key = step_key(self.base_key, 3, "eval")
         x_real, _ = self.data_fn(key, n)
         bs = min(self.cfg.eval.fid_batch_size, samples.shape[0], n)
 
-        def feats_of(x):
-            m = (x.shape[0] // bs) * bs
-            f = jax.lax.map(feature_fn, x[:m].reshape(-1, bs, *x.shape[1:]))
-            return f.reshape(-1, f.shape[-1])
-
         pr = jax.jit(lambda a, b: precision_recall(
-            feats_of(a), feats_of(b), k=self.cfg.eval.prd_k))(
-            x_real, samples)
+            self._feats_of(a, bs)[0], self._feats_of(b, bs)[0],
+            k=self.cfg.eval.prd_k))(x_real, samples)
         return {k: float(v) for k, v in pr.items()}
 
     def _training_viz(self, state: TrainState, step: int) -> None:

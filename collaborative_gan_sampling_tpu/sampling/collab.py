@@ -264,19 +264,30 @@ def _sample_mhgan(bundle, g_vars, d_vars, cfg, key, data_fn, mesh):
                 x0, labels = _draw(bundle, g_vars, k_i, cfg.batch_size, mesh)
             x, aux = mh(d_vars, g_vars, k_c, x0, labels, a, b)
             logits = bundle.discriminate(d_vars, x, labels, train=False)
-            return (x, logits, aux["accept_rate"],
+            return (x, logits, aux["n_accepts"],
                     labels if labels is not None else jnp.zeros((), jnp.int32))
 
-        xs, logits, rates, labels = _scan_batches(body, k_chain,
-                                                  cfg.num_batches)
-        return xs, logits, rates, labels, a, b
+        xs, logits, n_accs, labels = _scan_batches(body, k_chain,
+                                                   cfg.num_batches)
+        return xs, logits, n_accs, labels, a, b
 
-    xs, logits, rates, labels, a, b = run(g_vars, d_vars, key)
+    xs, logits, n_accs, labels, a, b = run(g_vars, d_vars, key)
     samples = _flatten(xs)
     labels = _flatten(labels) if bundle.conditional else None
-    return SampleResult(samples, jnp.ones(samples.shape[0], bool),
+    # Real-data chain init (Turner et al.): a chain that never accepted any
+    # G proposal still holds its REAL initializer — emitting it as a
+    # "generated" sample would leak training data into the output pool (and
+    # flatter every metric). Mark those chains rejected. G-initialized
+    # chains (no data_fn) are generator samples from step 0, so accept-all
+    # stays correct there.
+    n_accs = n_accs.reshape(-1)
+    accepted = (n_accs > 0 if data_fn is not None
+                else jnp.ones(samples.shape[0], bool))
+    return SampleResult(samples, accepted,
                         logits.reshape(-1), labels,
-                        {"mh_accept_rate": jnp.mean(rates),
+                        {"mh_accept_rate": jnp.mean(n_accs) / cfg.mh_chain_len,
+                         "mh_never_accepted":
+                             jnp.mean((n_accs == 0).astype(jnp.float32)),
                          "platt_a": a, "platt_b": b})
 
 
@@ -293,7 +304,6 @@ def _sample_collab(bundle, g_vars, d_vars, cfg, key, data_fn, mesh,
                 and getattr(cfg, "class_balanced_shaping", True))
     per_class = _per_class_drs(bundle, cfg)
     from collaborative_gan_sampling_tpu.training.shaping import (
-        create_shaping_state,
         make_shaping_step,
     )
 
@@ -308,8 +318,10 @@ def _sample_collab(bundle, g_vars, d_vars, cfg, key, data_fn, mesh,
                       and bundle.conditional))
     # Trust-region anchor: the D params we restored with, captured once.
     anchor_params = d_vars["params"] if anchor > 0 else None
-    shaping_state0, _ = create_shaping_state(
-        d_vars, cfg.shaping_lr, decay=getattr(cfg, "shaping_decay", 1.0))
+    # shape_step.init shares the step's optax transform, so the Adam state
+    # structure (which depends on the decay schedule) cannot drift from it.
+    shaping_state0 = shape_step.init(d_vars)
+    shaping_on = cfg.shape_every > 0
 
     @jax.jit
     def run(g_vars, shaping_state0, anchor_params, key):
@@ -338,29 +350,38 @@ def _sample_collab(bundle, g_vars, d_vars, cfg, key, data_fn, mesh,
             # D's logit scale drifts while it is being shaped, so a running
             # max over all rounds goes stale (it only grows) and acceptance
             # collapses. Recalibrate with an EMA of the per-round max —
-            # batch_size logits give a solid max estimate each round.
+            # batch_size logits give a solid max estimate each round. With
+            # shaping disabled (shape_every=0) D is static, so the burn-in M
+            # is kept as-is and collab reduces exactly to refine+reject.
             if per_class:
-                # Per-class EMA; classes absent this round keep their M.
-                rm = jnp.full_like(m, -jnp.inf).at[labels].max(logits)
-                seen = jnp.isfinite(rm)
-                m = jnp.where(seen, 0.7 * m + 0.3 * rm, m)
-                m_eff = jnp.where(seen, jnp.maximum(m, rm), m)
+                if shaping_on:
+                    # Per-class EMA; classes absent this round keep their M.
+                    rm = jnp.full_like(m, -jnp.inf).at[labels].max(logits)
+                    seen = jnp.isfinite(rm)
+                    m = jnp.where(seen, 0.7 * m + 0.3 * rm, m)
+                    m_eff = jnp.where(seen, jnp.maximum(m, rm), m)
+                else:
+                    m_eff = m
                 acc = drs_accept_mask(k_acc, logits - m_eff[labels],
                                       jnp.float32(0.0), cfg.gamma,
                                       cfg.eps_drs, cfg.gamma_percentile,
                                       use_pallas=cfg.use_pallas)
             else:
-                m = 0.7 * m + 0.3 * jnp.max(logits)
-                acc = drs_accept_mask(k_acc, logits,
-                                      jnp.maximum(m, jnp.max(logits)),
+                if shaping_on:
+                    m = 0.7 * m + 0.3 * jnp.max(logits)
+                    m_eff = jnp.maximum(m, jnp.max(logits))
+                else:
+                    m_eff = m
+                acc = drs_accept_mask(k_acc, logits, m_eff,
                                       cfg.gamma, cfg.eps_drs,
                                       cfg.gamma_percentile,
                                       use_pallas=cfg.use_pallas)
 
             if cfg.shape_every > 0:
                 def do_shape(st):
-                    # cfg.shaping_steps D updates per shaping event, each on
-                    # a fresh real batch (static unroll inside the scan body).
+                    # cfg.shaping_steps D updates per shaping event (0 =
+                    # none), each on a fresh real batch (static unroll
+                    # inside the scan body).
                     # Class-balanced shaping (conditional models): draw the
                     # real batch with the SAME labels as the refined fakes,
                     # so the projection D compares within-class — with many
@@ -368,7 +389,7 @@ def _sample_collab(bundle, g_vars, d_vars, cfg, key, data_fn, mesh,
                     # with the fakes and shaping destabilises D
                     # (BASELINE.md ImageNet-64 boundary).
                     loss = jnp.float32(0.0)
-                    for j in range(max(1, cfg.shaping_steps)):
+                    for j in range(cfg.shaping_steps):
                         kj = jax.random.fold_in(k_real, j)
                         if balanced:
                             x_real, labels_r = cond_data_fn(kj, labels)

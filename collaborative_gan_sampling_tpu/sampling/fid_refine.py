@@ -65,11 +65,10 @@ def make_fid_refine_fn(feature_fn: Callable, real_stats: FIDStats,
     Per-sample gradient clipping bounds steps where the linearisation is
     poor.
     """
-    grad_fn = jax.value_and_grad(
-        lambda x: fid_loss(x, feature_fn, real_stats, ns_iters))
+    val_fn = lambda x: fid_loss(x, feature_fn, real_stats, ns_iters)  # noqa: E731
+    grad_fn = jax.value_and_grad(val_fn)
 
     def refine(x0: jax.Array):
-        fid0, _ = grad_fn(x0)
         # Batch moments average over B samples, so dFID/dx_i is O(1/B);
         # scaling by B makes `rate` a per-sample step size comparable to the
         # discriminator-guided refiner's lambda.
@@ -86,8 +85,9 @@ def make_fid_refine_fn(feature_fn: Callable, real_stats: FIDStats,
             return x - u, val
 
         x_k, vals = jax.lax.scan(step, x0, None, length=steps)
-        fid_k, _ = grad_fn(x_k)
-        return x_k, {"fid_start": fid0, "fid_end": fid_k,
+        # vals[0] is the loss AT x0 (each step emits the value at its input),
+        # and the end value needs no gradient — no extra backward passes.
+        return x_k, {"fid_start": vals[0], "fid_end": val_fn(x_k),
                      "fid_trajectory": vals}
 
     return refine

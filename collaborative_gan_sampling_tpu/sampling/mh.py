@@ -33,15 +33,21 @@ def fit_platt(logits_real: jax.Array, logits_fake: jax.Array,
     """Fit (a, b) so sigmoid(a * logit + b) separates real (1) / fake (0).
 
     Plain jitted gradient descent on the logistic loss — tiny problem
-    (2 scalars), runs on device in one compiled call.
+    (2 scalars), runs on device in one compiled call. The logits are
+    standardized to unit scale for the fit (and the slope unscaled after),
+    so the fixed step size is stable regardless of D's raw logit spread —
+    on unnormalized logits with spread ~30 the loss curvature in `a` is
+    ~E[logit^2]/4 and lr=0.1 would oscillate instead of converging.
     """
     logits = jnp.concatenate([logits_real, logits_fake])
     y = jnp.concatenate([jnp.ones_like(logits_real),
                          jnp.zeros_like(logits_fake)])
+    scale = jnp.std(logits) + 1e-6
+    zs = logits / scale
 
     def loss(ab):
         a, b = ab
-        z = a * logits + b
+        z = a * zs + b
         return jnp.mean(jax.nn.softplus(z) - y * z)
 
     grad = jax.grad(loss)
@@ -51,7 +57,7 @@ def fit_platt(logits_real: jax.Array, logits_fake: jax.Array,
 
     ab0 = jnp.array([1.0, 0.0], jnp.float32)
     ab, _ = jax.lax.scan(step, ab0, None, length=iters)
-    return ab[0], ab[1]
+    return ab[0] / scale, ab[1]
 
 
 def calibrated_score(logits: jax.Array, a: jax.Array,
@@ -64,7 +70,9 @@ def make_mh_sampler(bundle: GANBundle, chain_len: int):
 
     `x_init` (B, ...) seeds B independent chains; each chain consumes
     `chain_len` fresh G proposals. aux['accept_rate'] is the mean MH
-    acceptance over the run.
+    acceptance over the run; aux['n_accepts'] (B,) counts acceptances per
+    chain — a chain with n_accepts == 0 still holds its initializer, which
+    callers that seed chains with real data must filter out.
     """
 
     def mh(d_vars: Any, g_vars: Any, key: jax.Array, x_init: jax.Array,
@@ -95,7 +103,8 @@ def make_mh_sampler(bundle: GANBundle, chain_len: int):
         (x_fin, s_fin, n_acc), _ = jax.lax.scan(
             step, (x_init, s_init, jnp.zeros((batch,), jnp.float32)),
             jnp.arange(chain_len))
-        aux = {"score": s_fin, "accept_rate": jnp.mean(n_acc) / chain_len}
+        aux = {"score": s_fin, "accept_rate": jnp.mean(n_acc) / chain_len,
+               "n_accepts": n_acc}
         return x_fin, aux
 
     return mh

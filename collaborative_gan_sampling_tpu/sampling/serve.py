@@ -41,6 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from collaborative_gan_sampling_tpu.config import RefineConfig
+from collaborative_gan_sampling_tpu.data.images import denormalize_images
 from collaborative_gan_sampling_tpu.models import GANBundle
 from collaborative_gan_sampling_tpu.parallel.mesh import constrain_batch
 from collaborative_gan_sampling_tpu.sampling.refine import make_draw_refine_fn
@@ -59,7 +60,7 @@ class ServingSampler:
     Usage:
         srv = ServingSampler(bundle, cfg, method="collab", mesh=mesh)
         m = srv.calibrate(g_vars, shaped_d_vars, key)      # burn-in, once
-        x, labels, acc = srv.round(g_vars, shaped_d_vars, m, key)  # repeat
+        x, labels, acc, logits = srv.round(g_vars, shaped_d_vars, m, key)
         samples, labels, stats = srv.generate(g_vars, d_vars, key, n=100_000)
     """
 
@@ -190,8 +191,9 @@ class ServingSampler:
             count = jnp.minimum(jnp.sum(acc.astype(jnp.int32)), cap)
             x_sel = x[idx]
             if quantize:
-                x_sel = jnp.clip((x_sel + 1.0) * 127.5, 0, 255
-                                 ).astype(jnp.uint8)
+                # The canonical float->uint8 transform (rounds, unlike a bare
+                # astype truncation) so served pixels match eval/viz exactly.
+                x_sel = denormalize_images(x_sel)
             lab_sel = labels[idx] if labels is not None else None
             return x_sel, lab_sel, count
 
@@ -220,9 +222,27 @@ class ServingSampler:
         rate0 = float(jnp.mean(acc0.astype(jnp.float32)))
         cap = min(per_round, max(64, int(per_round * (1.3 * rate0 + 0.05))))
         compact = self._build_compact(cap, quantize)
-        jax.block_until_ready(compact(x0, lab0, acc0))
 
         xs, labs, total, rounds, overflow = [], [], 0, 0, 0
+
+        def take(x, labels, acc):
+            nonlocal total, rounds, overflow
+            x_sel, lab_sel, count = compact(x, labels, acc)
+            k = int(count)
+            overflow += int(jnp.sum(acc.astype(jnp.int32))) - k
+            xs.append(np.asarray(x_sel)[:k])
+            if self.bundle.conditional:
+                labs.append(np.asarray(lab_sel)[:k])
+            total += k
+            rounds += 1
+            return k
+
+        # The warm-up round's candidates are real accepted samples — keep
+        # them (at a low accept rate a round is a large fraction of the
+        # total work). Its wall time stays excluded from the throughput
+        # stat, which reports the steady-state compiled rate.
+        warm = take(x0, lab0, acc0)
+        timed = 0
         t0 = time.perf_counter()
         while total < n:
             if rounds >= max_rounds:
@@ -230,15 +250,8 @@ class ServingSampler:
                     f"generate: {total}/{n} accepted after {rounds} rounds "
                     f"(accept rate too low — relax gamma/gamma_percentile)")
             x, labels, acc, _ = self.round(
-                g_vars, d_vars, m, jax.random.fold_in(k_serve, 1 + rounds))
-            x_sel, lab_sel, count = compact(x, labels, acc)
-            k = int(count)
-            overflow += int(int(jnp.sum(acc.astype(jnp.int32))) - k)
-            xs.append(np.asarray(x_sel)[:k])
-            if self.bundle.conditional:
-                labs.append(np.asarray(lab_sel)[:k])
-            total += k
-            rounds += 1
+                g_vars, d_vars, m, jax.random.fold_in(k_serve, rounds))
+            timed += take(x, labels, acc)
         dt = time.perf_counter() - t0
 
         samples = np.concatenate(xs)[:n]
@@ -251,7 +264,11 @@ class ServingSampler:
             "accept_rate": float((total + overflow) / (rounds * per_round)),
             "overflow_dropped": int(overflow),
             "seconds": round(dt, 4),
-            "samples_per_sec": round(total / dt, 1),
+            # Steady-state rate: accepted samples from the timed (post-
+            # compile) rounds only. None when the warm-up round alone
+            # satisfied n (no timed rounds ran).
+            "samples_per_sec": (round(timed / dt, 1) if timed else None),
+            "warmup_samples": int(warm),
             "dtype": "uint8" if quantize else "float32",
             "method": self.method,
         }

@@ -48,6 +48,11 @@ def _make_tx(lr: float, decay: float = 1.0) -> optax.GradientTransformation:
 def create_shaping_state(d_vars: Any, lr: float, decay: float = 1.0
                          ) -> tuple[ShapingState,
                                     optax.GradientTransformation]:
+    """Standalone state constructor. NOTE: the optimizer state structure
+    depends on `decay` (a schedule adds a count to the Adam state), so the
+    (lr, decay) pair MUST match the `make_shaping_step` call that will
+    consume the state — prefer ``make_shaping_step(...).init(d_vars)``,
+    which pairs them structurally."""
     tx = _make_tx(lr, decay)
     return ShapingState(d_vars=dict(d_vars), opt=tx.init(d_vars["params"]),
                         step=jnp.zeros((), jnp.int32)), tx
@@ -158,4 +163,12 @@ def make_shaping_step(bundle: GANBundle, lr: float, decay: float = 1.0,
             state = apply(state)
         return state, loss
 
+    def init(d_vars: Any) -> ShapingState:
+        """ShapingState whose Adam state structurally matches THIS step fn
+        (the tx is shared, so lr/decay cannot drift apart across the pair)."""
+        return ShapingState(d_vars=dict(d_vars),
+                            opt=tx.init(d_vars["params"]),
+                            step=jnp.zeros((), jnp.int32))
+
+    shape_step.init = init
     return shape_step

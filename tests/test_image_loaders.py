@@ -46,6 +46,20 @@ def test_idx_loader_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(ds.labels), labels)
 
 
+def test_idx_loader_without_labels_is_unlabeled(tmp_path):
+    """A missing labels file must yield labels=None (unlabeled dataset),
+    NOT fabricated all-zero labels — zeros silently produced a 1-class
+    'trained_classifier' feature net and all-class-0 conditional batches."""
+    imgs = np.random.default_rng(0).integers(0, 256, (20, 28, 28),
+                                             dtype=np.uint8)
+    _write_idx_images(tmp_path / "train-images-idx3-ubyte", imgs)
+    ds = load_image_dataset(DataConfig(dataset="mnist", path=str(tmp_path)))
+    assert not ds.procedural
+    assert ds.labels is None
+    _, labels = ds.batch(jax.random.PRNGKey(0), 4)
+    assert labels is None
+
+
 def test_idx_loader_gzipped(tmp_path):
     imgs = np.arange(2 * 28 * 28, dtype=np.uint8).reshape(2, 28, 28)
     raw = (struct.pack(">I", 0x00000803) + struct.pack(">III", *imgs.shape)

@@ -133,3 +133,34 @@ def test_torch_state_dict_conversion_roundtrip(variables):
     a = InceptionV3Features().apply(variables, x)
     b = InceptionV3Features().apply(converted, x)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fid_pool_semantics():
+    """The FID graph's pooling deviations from stock torchvision: 3x3/s1
+    avg pools exclude padding from the divisor (a constant image stays
+    constant at the borders), and Mixed_7c's pool branch is a MAX pool."""
+    from collaborative_gan_sampling_tpu.evals.inception import (
+        InceptionE,
+        _avg_pool_3x3_same,
+        _max_pool_3x3_same,
+    )
+
+    ones = jnp.ones((1, 5, 5, 2))
+    # count_include_pad=False: corner windows average 4 real ones -> 1.0
+    # (the include-pad default would give 4/9 at corners).
+    np.testing.assert_allclose(np.asarray(_avg_pool_3x3_same(ones)), 1.0)
+    x = jnp.zeros((1, 5, 5, 1)).at[0, 2, 2, 0].set(1.0)
+    mp = np.asarray(_max_pool_3x3_same(x))
+    assert mp[0, 2, 2, 0] == 1.0 and mp[0, 1, 1, 0] == 1.0  # 3x3 max spread
+
+    # Mixed_7b/7c differ ONLY in the pool branch; same params must give
+    # different outputs on a border-structured input.
+    key = jax.random.PRNGKey(0)
+    xin = jax.random.normal(jax.random.fold_in(key, 1), (1, 8, 8, 1280))
+    e_avg = InceptionE(pool_branch="avg")
+    e_max = InceptionE(pool_branch="max")
+    variables = e_avg.init(key, xin)
+    out_avg = e_avg.apply(variables, xin)
+    out_max = e_max.apply(variables, xin)
+    assert out_avg.shape == out_max.shape == (1, 8, 8, 2048)
+    assert not np.allclose(np.asarray(out_avg), np.asarray(out_max))

@@ -32,6 +32,47 @@ def test_platt_handles_inverted_scores():
     assert np.asarray(calibrated_score(lr, a, b)).mean() > 0.6
 
 
+def test_platt_converges_on_large_logit_scale():
+    # Overlapping classes at a raw logit spread ~30: the optimal slope is
+    # ~1/30, and an unnormalized fixed-step fit (lr=0.1 on raw logits)
+    # oscillates instead of converging. The standardized fit is scale-free.
+    key = jax.random.PRNGKey(0)
+    lr = 30.0 * (0.5 + jax.random.normal(key, (1024,)))
+    lf = 30.0 * (-0.5 + jax.random.normal(jax.random.fold_in(key, 1),
+                                          (1024,)))
+    a, b = fit_platt(lr, lf)
+    s_real = np.asarray(calibrated_score(lr, a, b))
+    s_fake = np.asarray(calibrated_score(lf, a, b))
+    # Calibrated log-loss must beat the identity calibration (a=1, b=0),
+    # which saturates and scores ~0/1 confidently-wrong on the overlap.
+    def logloss(s, y):
+        s = np.clip(s, 1e-7, 1 - 1e-7)
+        return -(y * np.log(s) + (1 - y) * np.log(1 - s)).mean()
+
+    cal = 0.5 * (logloss(s_real, 1.0) + logloss(s_fake, 0.0))
+    ident = 0.5 * (
+        logloss(np.asarray(calibrated_score(lr, 1.0, 0.0)), 1.0)
+        + logloss(np.asarray(calibrated_score(lf, 1.0, 0.0)), 0.0))
+    assert np.isfinite(cal) and cal < ident
+    assert s_real.mean() > 0.6 and s_fake.mean() < 0.4
+    assert 0 < float(a) < 0.2  # ~1/30-scale slope, not the raw-scale 1.0
+
+
+def test_mh_aux_counts_acceptances_per_chain():
+    bundle = _ScoreBundle()
+    mh = make_mh_sampler(bundle, chain_len=50)
+    key = jax.random.PRNGKey(0)
+    x0 = bundle.generate({}, bundle.sample_z(key, 128))
+    _, aux = jax.jit(
+        lambda k, x: mh({}, {}, k, x, None, jnp.float32(1.0),
+                        jnp.float32(0.0)))(jax.random.fold_in(key, 1), x0)
+    n_acc = np.asarray(aux["n_accepts"])
+    assert n_acc.shape == (128,)
+    assert (n_acc >= 0).all() and (n_acc <= 50).all()
+    np.testing.assert_allclose(n_acc.mean() / 50,
+                               float(aux["accept_rate"]), rtol=1e-6)
+
+
 class _ScoreBundle:
     """MH over a 1-mode 'data distribution': D scores distance to origin."""
 

@@ -204,5 +204,31 @@ def test_multihost_bootstrap_is_noop_single_host(monkeypatch):
     )
 
     monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    for var in ("SLURM_NTASKS", "OMPI_COMM_WORLD_SIZE",
+                "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS"):
+        monkeypatch.delenv(var, raising=False)
     assert maybe_initialize_distributed() is False
     assert len(jax.devices()) == 8  # backend untouched
+
+
+def test_cluster_scheduler_detection(monkeypatch):
+    """Auto-detection recognises multi-process scheduler envs (where
+    jax.distributed.initialize() self-configures) and stays off for
+    single-process allocations."""
+    from collaborative_gan_sampling_tpu.parallel.multihost import (
+        _cluster_scheduler_detected,
+    )
+
+    for var in ("SLURM_NTASKS", "OMPI_COMM_WORLD_SIZE",
+                "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS"):
+        monkeypatch.delenv(var, raising=False)
+    assert _cluster_scheduler_detected() is False
+    monkeypatch.setenv("SLURM_NTASKS", "1")
+    assert _cluster_scheduler_detected() is False  # single-task job
+    monkeypatch.setenv("SLURM_NTASKS", "4")
+    assert _cluster_scheduler_detected() is True
+    monkeypatch.setenv("SLURM_NTASKS", "1")
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host0")
+    assert _cluster_scheduler_detected() is False  # single-host slice
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host0,host1")
+    assert _cluster_scheduler_detected() is True

@@ -52,6 +52,43 @@ def test_knn_radii_excludes_self():
     np.testing.assert_allclose(np.asarray(r), [1.0, 1.0, 4.0], atol=1e-6)
 
 
+def test_tiny_pool_raises_instead_of_trivial_one():
+    """n <= k points: the k-NN radius is the inf-masked self distance and
+    precision/recall would silently read 1.0 — must raise instead."""
+    import pytest
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    real = _cluster(k1, 0.0, n=64)
+    tiny = _cluster(k2, 100.0, n=3)  # disjoint AND tiny
+    with pytest.raises(ValueError, match="needs > k"):
+        precision_recall(real, tiny, k=3)
+    with pytest.raises(ValueError, match="needs > k"):
+        precision_recall(tiny, real, k=3)
+
+
+def test_experiment_prd_guards_empty_accepted_pool(tmp_path):
+    """An all-rejected SampleResult must evaluate to zeros/inf, not crash
+    with ZeroDivisionError in the batched feature pass."""
+    import dataclasses
+
+    from tests.test_pipeline import _tiny_image_cfg
+    from collaborative_gan_sampling_tpu.pipeline import Experiment
+    from collaborative_gan_sampling_tpu.sampling import SampleResult
+
+    cfg = _tiny_image_cfg(tmp_path / "prd_empty")
+    cfg = dataclasses.replace(cfg, eval=dataclasses.replace(
+        cfg.eval, prd_samples=64, prd_k=3))
+    exp = Experiment(cfg, echo_metrics=False)
+    state = exp.train()
+    res = exp.sample(state, method="standard")
+    rejected = SampleResult(res.samples,
+                            jnp.zeros_like(res.accepted), res.logits,
+                            res.labels, res.aux)
+    m = exp.evaluate(rejected)
+    assert m["fid"] == float("inf")
+    assert m["precision"] == 0.0 and m["recall"] == 0.0
+
+
 def test_experiment_reports_prd(tmp_path):
     import dataclasses
 

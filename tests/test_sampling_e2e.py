@@ -53,10 +53,50 @@ def test_every_method_produces_finite_samples(trained_toy, method):
     assert res.logits.shape == (n,)
     assert res.accepted.shape == (n,)
     assert np.isfinite(np.asarray(res.samples)).all()
-    if method in ("standard", "refinement", "mhgan"):
+    if method in ("standard", "refinement"):
         assert res.accept_rate == 1.0
+    elif method == "mhgan":
+        # Real-data-initialized chains that never accept a G proposal are
+        # rejected (they still hold training data); most chains accept.
+        assert 0.5 < res.accept_rate <= 1.0
+        never = float(res.aux["mh_never_accepted"])
+        assert abs((1.0 - never) - res.accept_rate) < 1e-6
     else:
         assert 0.05 < res.accept_rate < 0.95  # DRS-style selectivity
+
+
+def test_collab_without_shaping_reduces_to_refine_reject(trained_toy):
+    """shape_every=0 must disable BOTH shaping and the EMA logit-max
+    recalibration: D is static, so collab's DRS calibration has to equal
+    refine+reject's burn-in M (the shaping-on/off ablation would otherwise
+    be confounded by a laxer acceptance threshold)."""
+    from collaborative_gan_sampling_tpu.sampling.collab import (
+        sample_refine_reject,
+    )
+
+    bundle, state, spec, data_fn = trained_toy
+    rcfg = dataclasses.replace(RCFG, shape_every=0)
+    key = jax.random.PRNGKey(7)
+    collab = sample(bundle, state.g_vars, state.d_vars, rcfg, key,
+                    method="collab", data_fn=data_fn)
+    rr = sample_refine_reject(bundle, state.g_vars, state.d_vars, rcfg, key,
+                              data_fn=data_fn)
+    np.testing.assert_allclose(np.asarray(collab.aux["logit_max"]),
+                               np.asarray(rr.aux["logit_max"]), rtol=1e-6)
+    # D untouched.
+    jax.tree.map(np.testing.assert_array_equal,
+                 collab.aux["shaped_d_vars"], state.d_vars)
+    assert int(collab.aux["shaping_steps_done"]) == 0
+
+
+def test_collab_shaping_steps_zero_means_zero_updates(trained_toy):
+    bundle, state, spec, data_fn = trained_toy
+    rcfg = dataclasses.replace(RCFG, shape_every=1, shaping_steps=0)
+    res = sample(bundle, state.g_vars, state.d_vars, rcfg,
+                 jax.random.PRNGKey(8), method="collab", data_fn=data_fn)
+    assert int(res.aux["shaping_steps_done"]) == 0
+    jax.tree.map(np.testing.assert_array_equal,
+                 res.aux["shaped_d_vars"], state.d_vars)
 
 
 def test_refinement_improves_hq(trained_toy):

@@ -56,6 +56,28 @@ def test_generate_returns_exactly_n_deterministically():
     assert stats["rounds"] >= 2  # needed multiple compiled rounds
     assert 0 < stats["accept_rate"] < 1
     assert stats["samples_per_sec"] > 0
+    # The warm-up/compile round's accepted samples are kept, not discarded.
+    assert stats["warmup_samples"] > 0
+
+
+def test_compact_quantization_rounds_like_denormalize():
+    """Served uint8 pixels must match the canonical eval/viz transform
+    (jnp.round, not astype truncation): x=0.0 is 128, not 127."""
+    from collaborative_gan_sampling_tpu.data.images import denormalize_images
+
+    bundle, g_vars, d_vars = _bundle()
+    cfg = RefineConfig(steps=0, rate=0.0, num_batches=1, batch_size=8,
+                       burn_in=8, use_pallas=False)
+    srv = ServingSampler(bundle, cfg, method="standard")
+    compact = srv._build_compact(cap=4, quantize=True)
+    x = jnp.stack([jnp.full((2, 2, 1), v) for v in
+                   (0.0, -1.0, 1.0, 0.5, -0.25, 0.999)])
+    acc = jnp.array([True, True, True, True, False, False])
+    x_sel, _, count = compact(x, None, acc)
+    assert int(count) == 4
+    np.testing.assert_array_equal(np.asarray(x_sel)[:4],
+                                  np.asarray(denormalize_images(x[:4])))
+    assert int(np.asarray(x_sel)[0, 0, 0, 0]) == 128  # round, not truncate
 
 
 def test_generate_raises_when_acceptance_starves():
@@ -153,6 +175,13 @@ def test_experiment_generate_collab_shapes_then_serves(tmp_path):
     assert os.path.exists(os.path.join(str(tmp_path), "shaped_d.msgpack"))
     loaded = np.load(out)
     np.testing.assert_array_equal(loaded["samples"], samples)
+    # use_shaped_d must be honored for NON-collab methods too (the 'train
+    # once, shape once, refine many times' serving path): refinement under
+    # the shaped D differs from refinement under the raw D.
+    s_raw, _, _ = exp.generate(state, n=64, method="refinement")
+    s_shaped, _, _ = exp.generate(state, n=64, method="refinement",
+                                  use_shaped_d=True)
+    assert not np.array_equal(s_raw, s_shaped)
 
 
 def test_serving_under_mesh_matches_single_device():
