@@ -71,15 +71,18 @@ def measure_refine_throughput(batch_size: int, steps_k: int,
         best = min(best, time.perf_counter() - t0)
     n = batch_size * rounds
     sps = n / best
+    # The analytic FLOP count models the DCGAN conv pipeline; for other
+    # model kinds (e.g. the toy2d MLP) an MFU from it would be fiction.
+    mfu = (round(100.0 * sps * _pipeline_flops_per_sample(cfg.model, steps_k)
+                 / BF16_PEAK_FLOPS, 1)
+           if cfg.model.kind == "dcgan" else None)
     return {
         "samples_per_sec": sps,
         "sec_per_batch": best / rounds,
         "batch_size": batch_size,
         "steps_k": steps_k,
         "rounds": rounds,
-        "mfu_pct": round(100.0 * sps
-                         * _pipeline_flops_per_sample(cfg.model, steps_k)
-                         / BF16_PEAK_FLOPS, 1),
+        "mfu_pct": mfu,
         "device": str(jax.devices()[0]),
     }
 
@@ -93,8 +96,9 @@ def _pipeline_flops_per_sample(mcfg, steps_k: int) -> float:
     DCGAN preset (5x5 stride-2 convs/deconvs throughout; MACs x2). XLA's
     cost_analysis under-reports on this backend, so MFU uses this hand
     count. refine step = D fwd + input-VJP (equal FLOPs); total =
-    G + (2K + 1) * D_fwd. For the MNIST-28 preset this reproduces the
-    round-2 hand count (D fwd 20.71 MFLOP, G 21.33 MFLOP).
+    G + (2K + 1) * D_fwd. For the MNIST-28 preset: D fwd 20.71 MFLOP
+    (matches the round-2 hand count exactly), G 21.95 MFLOP.
+    Only defined for DCGAN presets — callers guard on mcfg.kind.
     """
     from collaborative_gan_sampling_tpu.models.dcgan import num_stages
 
@@ -138,12 +142,15 @@ def main() -> int:
                                      preset=args.preset)
 
     baseline_sps = None
-    if not args.no_tf_baseline:
+    from collaborative_gan_sampling_tpu.config import get_preset
+    is_dcgan = get_preset(args.preset).model.kind == "dcgan"
+    if not args.no_tf_baseline and is_dcgan:
+        # The TF1 reference loop models the DCGAN execution shape; comparing
+        # an MLP preset against it would be apples-to-oranges.
         try:
             from benchmarks.tf1_reference import get_or_measure_baseline
             kw = {"steps_k": args.steps}
             if args.preset != "mnist":
-                from collaborative_gan_sampling_tpu.config import get_preset
                 m = get_preset(args.preset).model
                 kw.update(batch_size=64, num_batches=2,
                           image_size=m.image_size, channels=m.channels)

@@ -1,0 +1,82 @@
+"""Re-tune (K, rate) on the EMA arm of a quality_ema.py run.
+
+BASELINE.md's EMA guidance is explicit: "always re-tune (K, rate) against
+the EMA generator" — the EMA average is a smoother G whose residual wants
+a different refinement schedule than the raw parameters. quality_ema.py
+measures both arms at ONE (K, rate) (tuned for the plain arm); this
+runner loads the EMA checkpoint it trained, tunes (K, rate) on collab FID
+directly, and reports the retuned table within one process.
+
+Usage:
+  python benchmarks/quality_ema_retune.py --preset imagenet64 \
+      --iters 2000 --decay 0.999 --out runs/imagenet64_ema
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--preset", default="imagenet64")
+    p.add_argument("--iters", type=int, default=2000)
+    p.add_argument("--decay", type=float, default=0.999)
+    p.add_argument("--ks", type=int, nargs="+", default=[2, 5, 10, 20])
+    p.add_argument("--rates", type=float, nargs="+",
+                   default=[0.001, 0.005, 0.01, 0.03])
+    p.add_argument("--out", default="runs/imagenet64_ema",
+                   help="quality_ema.py --out dir (expects <out>/ema ckpts)")
+    args = p.parse_args()
+
+    from collaborative_gan_sampling_tpu.config import get_preset
+    from collaborative_gan_sampling_tpu.pipeline import Experiment
+    from collaborative_gan_sampling_tpu.utils.compile_cache import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
+    cfg = get_preset(args.preset)
+    cfg = cfg.replace(
+        workdir=os.path.join(args.out, "ema"),
+        train=dataclasses.replace(cfg.train, niters=args.iters,
+                                  g_ema_decay=args.decay),
+        eval=dataclasses.replace(cfg.eval, fid_num_samples=2048),
+    )
+    exp = Experiment(cfg, echo_metrics=False)
+    state = exp.load_or_train()
+    print(f"[ema retune {args.preset}] checkpoint at {int(state.step)}",
+          flush=True)
+
+    (best_k, best_rate), grid = exp.select_hparams(
+        state, ks=args.ks, rates=args.rates, method="collab")
+    print(f"[ema retune] best (K, rate) = ({best_k}, {best_rate})",
+          flush=True)
+
+    table = {}
+    for method in ("standard", "collab"):
+        rcfg = dataclasses.replace(cfg.refine, steps=best_k, rate=best_rate)
+        res = exp.sample(state, method=method, refine_cfg=rcfg)
+        m = exp.evaluate(res)
+        table[f"ema:{method}"] = {**m, "accept_rate": res.accept_rate}
+        print(json.dumps({"arm": "ema", "method": method,
+                          "fid": round(m["fid"], 4)}), flush=True)
+
+    result = {"preset": args.preset, "niters": args.iters,
+              "decay": args.decay, "best_k": best_k, "best_rate": best_rate,
+              "grid": {f"k={k},rate={r}": m for (k, r), m in grid.items()},
+              "table": table}
+    path = os.path.join(args.out, f"retuned_it{args.iters}.json")
+    with open(path, "w") as fh:
+        json.dump(result, fh, indent=2)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -50,10 +50,11 @@ def _build_cfg(args, overrides):
     return apply_overrides(cfg, overrides)
 
 
-def _inspect(exp: Experiment) -> dict:
+def _inspect(cfg) -> dict:
     """Summarise the workdir's latest checkpoint: step, parameter counts,
     optional-state presence (EMA generator, shaped D) and the saved config's
-    model section — without loading anything onto an accelerator."""
+    model section — from cfg-derived paths only: no Experiment, no dataset
+    load, nothing touches an accelerator."""
     import os
 
     import numpy as np
@@ -64,9 +65,10 @@ def _inspect(exp: Experiment) -> dict:
         saved_config,
     )
 
-    path = latest_checkpoint(exp.ckpt_dir)
+    ckpt_dir = os.path.join(cfg.workdir, "ckpts")
+    path = latest_checkpoint(ckpt_dir)
     if path is None:
-        return {"workdir": exp.workdir, "checkpoint": None,
+        return {"workdir": cfg.workdir, "checkpoint": None,
                 "note": "no checkpoint; run train first"}
 
     def n_params(tree) -> int:
@@ -75,15 +77,16 @@ def _inspect(exp: Experiment) -> dict:
         return int(np.size(tree)) if tree is not None else 0
 
     raw = restore_checkpoint(path)  # raw dict — no model construction
-    saved = saved_config(exp.ckpt_dir) or {}
+    saved = saved_config(ckpt_dir) or {}
     info = {
-        "workdir": exp.workdir,
+        "workdir": cfg.workdir,
         "checkpoint": path,
         "step": int(np.asarray(raw.get("step", -1))),
         "g_params": n_params(raw.get("g_vars", {}).get("params", {})),
         "d_params": n_params(raw.get("d_vars", {}).get("params", {})),
         "g_ema_tracked": raw.get("g_ema") is not None,
-        "shaped_d_saved": os.path.exists(exp._shaped_d_path()),
+        "shaped_d_saved": os.path.exists(
+            os.path.join(cfg.workdir, "shaped_d.msgpack")),
         "model_config": saved.get("model"),
     }
     return info
@@ -155,27 +158,32 @@ def main(argv: list[str] | None = None) -> int:
             tune_spaces = ov.split("=", 1)[1].split(",")
         elif ov.startswith("tune_stops="):
             tune_stops = [float(s) for s in ov.split("=", 1)[1].split(",")]
-        elif ov.startswith("n="):
+        elif args.command == "generate" and ov.startswith("n="):
+            # generate-only keys: consumed ONLY for generate, so a typo'd
+            # 'n=' on another command raises the unknown-field error
+            # instead of being silently swallowed.
             gen_n = int(ov.split("=", 1)[1])
-        elif ov.startswith("out="):
+        elif args.command == "generate" and ov.startswith("out="):
             gen_out = ov.split("=", 1)[1]
-        elif ov.startswith("class="):
+        elif args.command == "generate" and ov.startswith("class="):
             gen_class = int(ov.split("=", 1)[1])
         else:
             kept.append(ov)
     cfg = _build_cfg(args, kept)
+
+    if args.command == "inspect":
+        # Checkpoint introspection — never trains, never touches the
+        # accelerator or the dataset (only cfg-derived paths), unlike the
+        # other post-training commands which fall back to load_or_train.
+        print(json.dumps(_inspect(cfg), indent=2))
+        return 0
+
     exp = Experiment(cfg, use_mesh=args.mesh)
 
     if args.command == "train":
         state = exp.train()
         print(json.dumps({"trained_steps": int(state.step),
                           "workdir": cfg.workdir}))
-        return 0
-
-    if args.command == "inspect":
-        # Checkpoint introspection — never trains (unlike the other
-        # post-training commands, which fall back to load_or_train).
-        print(json.dumps(_inspect(exp), indent=2))
         return 0
 
     state = exp.load_or_train()
@@ -187,11 +195,24 @@ def main(argv: list[str] | None = None) -> int:
         refine_cfg = None
         tuned = {}
         if args.auto_tune:
-            import dataclasses
+            if method not in ("refinement", "collab"):
+                # (K, rate) only drive the refining methods; tuning a grid
+                # another sampler never reads would waste a full sweep and
+                # report misleading tuned values.
+                print(json.dumps({"note": f"--auto-tune ignored for "
+                                          f"method={method!r} (no (K, rate) "
+                                          "to tune)"}), file=sys.stderr)
+            else:
+                import dataclasses
 
-            (bk, br), _ = exp.select_hparams(state, sweep_steps, tune_rates)
-            refine_cfg = dataclasses.replace(cfg.refine, steps=bk, rate=br)
-            tuned = {"tuned_k": bk, "tuned_rate": br}
+                # Tune under the method actually being run: shaping changes
+                # D's gradient field, so refinement-tuned (K, rate) under-
+                # tune the collaborative arm (BASELINE.md closure sections).
+                (bk, br), _ = exp.select_hparams(state, sweep_steps,
+                                                 tune_rates, method=method)
+                refine_cfg = dataclasses.replace(cfg.refine, steps=bk,
+                                                 rate=br)
+                tuned = {"tuned_k": bk, "tuned_rate": br}
         res = exp.sample(state, method=method, refine_cfg=refine_cfg)
         metrics = exp.evaluate(res)
         print(json.dumps({"method": method, **tuned, **metrics}))
@@ -225,7 +246,7 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.command == "teaser":
         # C17: the README-animation figure — samples flowing along dD/dx.
-        out = exp.teaser()
+        out = exp.teaser(state)
         print(json.dumps(out))
         return 0
 

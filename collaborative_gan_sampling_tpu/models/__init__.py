@@ -101,6 +101,14 @@ def make_bundle(cfg: ModelConfig) -> GANBundle:
         return GANBundle(g=g, d=d, z_dim=cfg.z_dim,
                          data_shape=(cfg.data_dim,), num_classes=0, _cfg=cfg)
     if cfg.kind == "dcgan":
+        from collaborative_gan_sampling_tpu.models.dcgan import num_stages
+        if num_stages(cfg.image_size) == 0:
+            # Clear error here, not a cryptic flax TypeError at init time
+            # (n=0 would make the generator's channel count fractional).
+            raise ValueError(
+                f"model.image_size={cfg.image_size} is not supported by the "
+                "DCGAN stack: it must halve at least once to a spatial size "
+                ">= 4 (use an even size >= 8, e.g. 16/28/32/64)")
         g, d = make_dcgan_pair(cfg)
         shape = (cfg.image_size, cfg.image_size, cfg.channels)
         return GANBundle(g=g, d=d, z_dim=cfg.z_dim, data_shape=shape,

@@ -106,12 +106,21 @@ def restore_checkpoint(path: str, target: Any | None = None,
 
 
 def saved_config(ckpt_dir: str) -> dict | None:
-    """The config dict stored beside the checkpoints, or None."""
+    """The config dict stored beside the checkpoints, or None. The sidecar's
+    content hash is verified on read — a hand-edited or corrupted sidecar
+    fails loudly rather than silently gating restores on stale content."""
     side = os.path.join(ckpt_dir, "config.json")
     if not os.path.exists(side):
         return None
     with open(side) as fh:
-        return json.load(fh)["config"]
+        data = json.load(fh)
+    cfg = data["config"]
+    want = data.get("hash")
+    if want is not None and _config_hash(cfg) != want:
+        raise ConfigMismatchError(
+            f"{side} is corrupted or was edited by hand (content hash "
+            f"mismatch); delete it or restore the original sidecar")
+    return cfg
 
 
 def _check_config(ckpt_dir: str, config: Any) -> None:

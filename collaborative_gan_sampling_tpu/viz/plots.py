@@ -33,11 +33,13 @@ from collaborative_gan_sampling_tpu.sampling.refine import (  # noqa: E402
 )
 
 
-def _grid_fields(bundle, d_vars, lim: float, n: int = 40):
-    """D logits and refinement gradient field on an (n, n) grid — one jit."""
-    xs = jnp.linspace(-lim, lim, n)
-    xx, yy = jnp.meshgrid(xs, xs)
-    pts = jnp.stack([xx.ravel(), yy.ravel()], axis=1)
+def _fields_fn(bundle):
+    """Jitted (d_vars, pts) -> (logits, -grad) for one bundle, cached on the
+    bundle instance: a fresh @jax.jit closure per plot call would retrace
+    every viz interval (trace + cache-lookup dispatch on a 1-core host)."""
+    cached = getattr(bundle, "_viz_fields_jit", None)
+    if cached is not None:
+        return cached
 
     @jax.jit
     def fields(d_vars, pts):
@@ -50,7 +52,18 @@ def _grid_fields(bundle, d_vars, lim: float, n: int = 40):
         grad = jax.grad(loss_sum)(pts)
         return logits, -grad  # refinement moves along -grad
 
-    logits, vec = fields(d_vars, pts)
+    # GANBundle is a frozen dataclass; the cache is incidental state, not a
+    # field — bypass the frozen guard.
+    object.__setattr__(bundle, "_viz_fields_jit", fields)
+    return fields
+
+
+def _grid_fields(bundle, d_vars, lim: float, n: int = 40):
+    """D logits and refinement gradient field on an (n, n) grid — one jit."""
+    xs = jnp.linspace(-lim, lim, n)
+    xx, yy = jnp.meshgrid(xs, xs)
+    pts = jnp.stack([xx.ravel(), yy.ravel()], axis=1)
+    logits, vec = _fields_fn(bundle)(d_vars, pts)
     return (np.asarray(xx), np.asarray(yy),
             np.asarray(logits).reshape(n, n),
             np.asarray(vec).reshape(n, n, 2))
@@ -198,6 +211,11 @@ def save_image_grid(path: str, images: Any, nrow: int = 8) -> str:
         r, col = divmod(i, nrow)
         grid[r * h:(r + 1) * h, col * w:(col + 1) * w] = imgs[i]
     if c == 1:
+        # Pin the absolute intensity scale: without vmin/vmax matplotlib
+        # contrast-stretches each montage to its own min/max, so grids from
+        # different steps are not visually comparable.
         grid = grid[..., 0]
-    plt.imsave(path, grid, cmap="gray" if c == 1 else None)
+        plt.imsave(path, grid, cmap="gray", vmin=0, vmax=255)
+    else:
+        plt.imsave(path, grid)
     return path

@@ -71,3 +71,20 @@ def test_cli_teaser_and_sweep(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["best_k"] in (1, 2)
     assert set(map(int, out["sweep"])) == {1, 2}
+
+
+def test_bench_mfu_only_for_dcgan():
+    import bench
+
+    out = bench.measure_refine_throughput(batch_size=16, steps_k=1,
+                                          rounds=1, repeats=1,
+                                          preset="toy2d")
+    assert out["samples_per_sec"] > 0
+    assert out["mfu_pct"] is None  # analytic conv FLOPs model is DCGAN-only
+
+
+def test_cli_generate_only_keys_rejected_elsewhere():
+    import pytest
+
+    with pytest.raises(KeyError, match="no field 'n'"):
+        cli_main(["eval", "--config", "toy2d", "n=500"])

@@ -90,3 +90,12 @@ def test_mlp_generator_params_finite_and_small_init():
     g_vars, d_vars = b.init(jax.random.PRNGKey(0))
     for leaf in jax.tree_util.tree_leaves(g_vars) + jax.tree_util.tree_leaves(d_vars):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_dcgan_rejects_unsupported_image_size():
+    import pytest
+
+    from collaborative_gan_sampling_tpu.config import ModelConfig
+
+    with pytest.raises(ValueError, match="image_size=27"):
+        make_bundle(ModelConfig(kind="dcgan", image_size=27))

@@ -168,6 +168,23 @@ def test_checkpoint_config_mismatch_error(tmp_path):
     else:
         raise AssertionError("expected ConfigMismatchError")
 
+    # A hand-edited sidecar fails the content-hash check loudly.
+    import json as _json
+    side = os.path.join(d, "config.json")
+    with open(side) as fh:
+        data = _json.load(fh)
+    data["config"]["model"]["d_hidden"] = 999
+    with open(side, "w") as fh:
+        _json.dump(data, fh)
+    try:
+        restore_checkpoint(path, target=state, config=cfg)
+    except ConfigMismatchError as e:
+        assert "hash" in str(e)
+    else:
+        raise AssertionError("expected hash-mismatch ConfigMismatchError")
+    # Restore the valid sidecar for any later assertions.
+    save_checkpoint(d, 0, state, config=cfg)
+
     # Checkpoints written without a config stay restorable with any config.
     d2 = os.path.join(tmp_path, "c2")
     save_checkpoint(d2, 0, state)
