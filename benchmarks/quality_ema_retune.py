@@ -31,6 +31,10 @@ def main():
     p.add_argument("--ks", type=int, nargs="+", default=[2, 5, 10, 20])
     p.add_argument("--rates", type=float, nargs="+",
                    default=[0.001, 0.005, 0.01, 0.03])
+    p.add_argument("--best-k", type=int, default=None,
+                   help="skip the grid and measure the final table at this "
+                        "(K, rate) — requires --best-rate")
+    p.add_argument("--best-rate", type=float, default=None)
     p.add_argument("--out", default="runs/imagenet64_ema",
                    help="quality_ema.py --out dir (expects <out>/ema ckpts)")
     args = p.parse_args()
@@ -42,20 +46,32 @@ def main():
     )
 
     enable_compile_cache()
+    # Final-table Experiment at the preset's full eval sample count — the
+    # headline numbers must be comparable to quality_ema.py's tables (FID
+    # is sample-count biased; a cheap-eval final table would not be).
     cfg = get_preset(args.preset)
     cfg = cfg.replace(
         workdir=os.path.join(args.out, "ema"),
         train=dataclasses.replace(cfg.train, niters=args.iters,
                                   g_ema_decay=args.decay),
-        eval=dataclasses.replace(cfg.eval, fid_num_samples=2048),
     )
     exp = Experiment(cfg, echo_metrics=False)
     state = exp.load_or_train()
     print(f"[ema retune {args.preset}] checkpoint at {int(state.step)}",
           flush=True)
 
-    (best_k, best_rate), grid = exp.select_hparams(
-        state, ks=args.ks, rates=args.rates, method="collab")
+    if args.best_k is not None and args.best_rate is not None:
+        best_k, best_rate, grid = args.best_k, args.best_rate, {}
+    else:
+        # Tuning grid on a cheap 2048-sample eval (shares the feature net /
+        # real stats cache where computed by the final-table Experiment).
+        cfg_t = cfg.replace(eval=dataclasses.replace(
+            cfg.eval, fid_num_samples=2048))
+        exp_t = Experiment(cfg_t, echo_metrics=False)
+        exp_t._cached_feature_fn = exp._feature_fn()
+        exp_t._feature_label = exp._feature_label
+        (best_k, best_rate), grid = exp_t.select_hparams(
+            state, ks=args.ks, rates=args.rates, method="collab")
     print(f"[ema retune] best (K, rate) = ({best_k}, {best_rate})",
           flush=True)
 

@@ -175,11 +175,14 @@ def test_trained_classifier_features_separate_classes():
     f = np.asarray(feature_fn(x))
     assert f.shape == (256, 256)
     y = np.asarray(y)
-    # Same-class features more similar than cross-class (centroid distance).
+    # Same-class features must sit closer to their OWN centroid than
+    # OTHER-class features do — a constant/random feature map fails this
+    # (the earlier own-vs-other-centroid form was vacuously true for any
+    # feature map, since a centroid near-minimizes distance to its points).
     c0 = f[y == y[0]].mean(0)
-    other = f[y != y[0]].mean(0)
-    assert np.linalg.norm(f[y == y[0]] - c0, axis=1).mean() < \
-        np.linalg.norm(f[y == y[0]] - other, axis=1).mean() + 1e-3
+    d_own = np.linalg.norm(f[y == y[0]] - c0, axis=1).mean()
+    d_cross = np.linalg.norm(f[y != y[0]] - c0, axis=1).mean()
+    assert d_own < d_cross
 
 
 def test_rotation_features_learn_orientation():

@@ -89,7 +89,14 @@ def test_mlp_generator_params_finite_and_small_init():
     b = make_bundle(cfg)
     g_vars, d_vars = b.init(jax.random.PRNGKey(0))
     for leaf in jax.tree_util.tree_leaves(g_vars) + jax.tree_util.tree_leaves(d_vars):
-        assert np.isfinite(np.asarray(leaf)).all()
+        arr = np.asarray(leaf)
+        assert np.isfinite(arr).all()
+        # 'small init': flax-default lecun kernels have std 1/sqrt(fan_in)
+        # <= 1 and zero biases — an init-scale regression (e.g. stddev 5)
+        # must fail here, not just NaN later.
+        if arr.ndim >= 2:
+            assert arr.std() <= 1.0, arr.std()
+        assert np.abs(arr).max() < 4.0
 
 
 def test_dcgan_rejects_unsupported_image_size():

@@ -153,4 +153,6 @@ def test_g_fwd_s2d_matches_flax():
         want = bundle.generate(g_vars, z, labs, train=False)
         got = depth_to_space(make_g_fwd_s2d(bundle.g)(g_vars, z, labs), ch)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   rtol=2e-5, atol=2e-5), (size, ch, classes)
+                                   rtol=2e-5, atol=2e-5,
+                                   err_msg=f"(size={size}, ch={ch}, "
+                                           f"classes={classes})")
