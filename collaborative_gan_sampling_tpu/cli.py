@@ -145,6 +145,7 @@ def main(argv: list[str] | None = None) -> int:
     tune_objectives = None
     tune_spaces = None
     tune_stops = None
+    tune_proxs = None
     gen_n, gen_out, gen_class = 10_000, "", None
     kept = []
     for ov in overrides:
@@ -158,6 +159,8 @@ def main(argv: list[str] | None = None) -> int:
             tune_spaces = ov.split("=", 1)[1].split(",")
         elif ov.startswith("tune_stops="):
             tune_stops = [float(s) for s in ov.split("=", 1)[1].split(",")]
+        elif ov.startswith("tune_proxs="):
+            tune_proxs = [float(s) for s in ov.split("=", 1)[1].split(",")]
         elif args.command == "generate" and ov.startswith("n="):
             # generate-only keys: consumed ONLY for generate, so a typo'd
             # 'n=' on another command raises the unknown-field error
@@ -259,15 +262,16 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.command == "tune":
-        # Joint (K, rate[, objective][, space][, stop]) grid: per-checkpoint
-        # tuning ('tune_objectives=ns,kl,saturating' / 'tune_spaces=x,z' /
-        # 'tune_stops=0,0.5,0.9' add axes; z-space wants ~5-10x larger
-        # rates, widen tune_rates accordingly).
+        # Joint (K, rate[, objective][, space][, stop][, prox]) grid: per-
+        # checkpoint tuning ('tune_objectives=ns,kl,saturating' /
+        # 'tune_spaces=x,z' / 'tune_stops=0,0.5,0.9' / 'tune_proxs=0,0.1,1'
+        # add axes; z-space wants ~5-10x larger rates, widen tune_rates
+        # accordingly).
         best, out = exp.select_hparams(
             state, sweep_steps, tune_rates,
             method=args.method or "refinement",
             objectives=tune_objectives, spaces=tune_spaces,
-            stops=tune_stops)
+            stops=tune_stops, proxs=tune_proxs)
         names = ["k", "rate"]
         result = {"best_k": best[0], "best_rate": best[1]}
         if tune_objectives is not None:
@@ -279,6 +283,9 @@ def main(argv: list[str] | None = None) -> int:
         if tune_stops is not None:
             names.append("stop")
             result["best_stop"] = best[len(names) - 1]
+        if tune_proxs is not None:
+            names.append("prox")
+            result["best_proximal"] = best[len(names) - 1]
         result["grid"] = {",".join(f"{n}={v}" for n, v in
                                    zip(names, cell)): m
                           for cell, m in out.items()}

@@ -138,6 +138,17 @@ class RefineConfig:
     # checkpoints (BASELINE.md). A threshold bounds the ascent per sample
     # instead of per run, making results robust to (K, rate) mis-tuning.
     # 0 = off (reference behavior); 0.5 = stop at D's decision boundary.
+    proximal: float = 0.0  # DOT-style proximity cost (Tanaka, NeurIPS 2019
+    # arXiv:1910.06832, "Discriminator Optimal Transport"): the drift
+    # becomes grad l(D(x)) + proximal*(x - x0), i.e. descent on
+    # l(D(x)) + (proximal/2)*||x - x0||^2 anchored to the INITIAL sample
+    # (in z-space, anchored to z0). Where stop_score hard-freezes a sample
+    # once D likes it, the proximal term bounds how FAR refinement can
+    # carry every sample from G's output — a smooth overshoot guard with a
+    # transport-cost interpretation. 0 = off (reference behavior).
+    # Stability: the anchor term is explicit-Euler integrated, so keep
+    # rate * proximal < 2 (above that the anchored coordinate oscillates
+    # divergently instead of contracting).
     use_pallas: bool = True  # fused Pallas fast-path where supported
     use_s2d: bool = True  # space-to-depth conv-D refine fast path (exact
     # math in permuted coordinates; ops/refine_s2d.py)

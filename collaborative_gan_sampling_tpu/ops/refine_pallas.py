@@ -172,4 +172,5 @@ def supports_pallas_refine(bundle, cfg, labels) -> bool:
             and labels is None and cfg.clip_norm == 0 and cfg.use_pallas
             and getattr(cfg, "objective", "ns") == "ns"
             and getattr(cfg, "stop_score", 0.0) == 0.0
+            and getattr(cfg, "proximal", 0.0) == 0.0
             and jax.default_backend() == "tpu")

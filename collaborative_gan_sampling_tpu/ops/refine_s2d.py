@@ -210,9 +210,12 @@ def _make_s2d_scan(d_fwd, cfg):
     steps, rate, clip_norm = cfg.steps, cfg.rate, cfg.clip_norm
     objective = getattr(cfg, "objective", "ns")
     stop_score = getattr(cfg, "stop_score", 0.0)
+    proximal = getattr(cfg, "proximal", 0.0)
 
     def scan(d_vars: Any, x_s2d: jax.Array,
              labels: jax.Array | None = None):
+        x0_s2d = x_s2d  # proximal anchor; s2d is a permutation, so the
+        # L2 transport cost is EXACTLY the pixel-space one.
         def loss_sum(x):
             logits = d_fwd(d_vars, x, labels)
             return jnp.sum(refine_loss_per_sample(logits, objective)), logits
@@ -227,6 +230,8 @@ def _make_s2d_scan(d_fwd, cfg):
 
         def step(x, _):
             g, logits = grad_fn(x)
+            if proximal > 0:
+                g = g + proximal * (x - x0_s2d)
             if clip_norm > 0:
                 g = _clip_per_sample(g, clip_norm)
             x_new = x - rate * g

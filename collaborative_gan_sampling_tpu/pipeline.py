@@ -671,6 +671,7 @@ class Experiment:
                        objectives: list[str] | None = None,
                        spaces: list[str] | None = None,
                        stops: list[float] | None = None,
+                       proxs: list[float] | None = None,
                        ) -> tuple[tuple, dict]:
         """Joint (K, rate[, objective][, space]) auto-tuning by validation
         metric (VERDICT r1 item 2): the paper's finding is that refinement
@@ -684,11 +685,13 @@ class Experiment:
         compiled program (K static, rate baked).
 
         Returns ((best_k, best_rate), {(k, rate): metrics}) — with
-        `objectives`/`spaces`/`stops` the cells extend to
-        (k, rate[, obj][, space][, stop]) in that order. The `stops` axis
-        tunes the per-sample early-stop threshold (stop_score); at
-        well-trained checkpoints it caps the over-shoot that otherwise
-        forces the (K, rate) grid to extreme corners."""
+        `objectives`/`spaces`/`stops`/`proxs` the cells extend to
+        (k, rate[, obj][, space][, stop][, prox]) in that order. The
+        `stops` axis tunes the per-sample early-stop threshold
+        (stop_score); `proxs` tunes the DOT-style proximity cost
+        (refine.proximal) — both cap the over-shoot that otherwise forces
+        the (K, rate) grid to extreme corners at well-trained
+        checkpoints."""
         import dataclasses
 
         ks = ks or [1, 5, 10, 20]
@@ -697,28 +700,33 @@ class Experiment:
         with_obj = objectives is not None
         with_space = spaces is not None
         with_stop = stops is not None
+        with_prox = proxs is not None
         objs = objectives if with_obj else [self.cfg.refine.objective]
         spcs = spaces if with_space else [
             getattr(self.cfg.refine, "space", "x")]
         stps = stops if with_stop else [
             getattr(self.cfg.refine, "stop_score", 0.0)]
+        prxs = proxs if with_prox else [
+            getattr(self.cfg.refine, "proximal", 0.0)]
         table: dict[tuple, dict] = {}
-        for stop in stps:
-            for space in spcs:
-                for obj in objs:
-                    for rate in rates:
-                        for k in ks:
-                            rcfg = dataclasses.replace(
-                                self.cfg.refine, steps=k, rate=rate,
-                                objective=obj, space=space,
-                                stop_score=stop)
-                            res = self.sample(state, method=method,
-                                              refine_cfg=rcfg)
-                            cell = (k, rate)
-                            cell += (obj,) if with_obj else ()
-                            cell += (space,) if with_space else ()
-                            cell += (stop,) if with_stop else ()
-                            table[cell] = self.evaluate(res)
+        for prox in prxs:
+            for stop in stps:
+                for space in spcs:
+                    for obj in objs:
+                        for rate in rates:
+                            for k in ks:
+                                rcfg = dataclasses.replace(
+                                    self.cfg.refine, steps=k, rate=rate,
+                                    objective=obj, space=space,
+                                    stop_score=stop, proximal=prox)
+                                res = self.sample(state, method=method,
+                                                  refine_cfg=rcfg)
+                                cell = (k, rate)
+                                cell += (obj,) if with_obj else ()
+                                cell += (space,) if with_space else ()
+                                cell += (stop,) if with_stop else ()
+                                cell += (prox,) if with_prox else ()
+                                table[cell] = self.evaluate(res)
         best = min(table, key=lambda kr: table[kr][metric])
         return best, table
 

@@ -94,6 +94,7 @@ def make_refine_fn(bundle: GANBundle, cfg: RefineConfig,
     noise = getattr(cfg, "noise", 0.0)
     objective = getattr(cfg, "objective", "ns")
     stop_score = getattr(cfg, "stop_score", 0.0)
+    proximal = getattr(cfg, "proximal", 0.0)
 
     def refine(d_vars: Any, x0: jax.Array,
                labels: jax.Array | None = None,
@@ -136,6 +137,9 @@ def make_refine_fn(bundle: GANBundle, cfg: RefineConfig,
 
         def step(x, k):
             g, logits = grad_fn(x)
+            if proximal > 0:
+                # DOT-style transport cost: + grad of (p/2)||x - x0||^2.
+                g = g + proximal * (x - x0)
             if clip_norm > 0:
                 g = _clip_per_sample(g, clip_norm)
             x_new = x - rate * g
@@ -213,6 +217,7 @@ def _make_draw_refine_z(bundle: GANBundle, cfg: RefineConfig, mesh=None):
     noise = getattr(cfg, "noise", 0.0)
     objective = getattr(cfg, "objective", "ns")
     stop_score = getattr(cfg, "stop_score", 0.0)
+    proximal = getattr(cfg, "proximal", 0.0)
     from collaborative_gan_sampling_tpu.parallel.mesh import constrain_batch
 
     def draw_refine(g_vars: Any, d_vars: Any, key: jax.Array, n: int,
@@ -231,6 +236,8 @@ def _make_draw_refine_z(bundle: GANBundle, cfg: RefineConfig, mesh=None):
 
         def step(z, k):
             g, logits = grad_fn(z)
+            if proximal > 0:
+                g = g + proximal * (z - z0)  # anchor to the drawn latent
             if clip_norm > 0:
                 g = _clip_per_sample(g, clip_norm)
             z_new = z - rate * g
