@@ -30,10 +30,13 @@ def data_fn(key, n):
     return table[idx] + jitter, None
 
 
+import os
+
 bundle = make_bundle(ModelConfig(kind="mlp", z_dim=4,
                                  compute_dtype="float32"))
-tcfg = TrainConfig(batch_size=256, niters=500, steps_per_call=50, d_lr=1e-3,
-                   g_lr=1e-3)
+tcfg = TrainConfig(batch_size=256,
+                   niters=int(os.environ.get("NITERS", 500)),
+                   steps_per_call=50, d_lr=1e-3, g_lr=1e-3)
 base = jax.random.PRNGKey(0)
 state = create_train_state(bundle, tcfg, base)
 chunk = make_train_chunk(bundle, tcfg, data_fn, base)

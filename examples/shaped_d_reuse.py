@@ -5,10 +5,13 @@ shaped D is itself a product — later refinement runs reuse it without paying
 for shaping again, and with different (K, lambda) settings.
 
     python examples/shaped_d_reuse.py
+
+NITERS=50 in the environment shrinks the run (used by the CI smoke test).
 """
 
 import dataclasses
 import json
+import os
 
 from collaborative_gan_sampling_tpu.config import get_preset
 from collaborative_gan_sampling_tpu.pipeline import Experiment
@@ -20,7 +23,7 @@ enable_compile_cache()
 
 cfg = get_preset("toy2d").replace(workdir="runs/shaped_reuse")
 exp = Experiment(cfg)
-state = exp.load_or_train(niters=1000)
+state = exp.load_or_train(niters=int(os.environ.get("NITERS", 1000)))
 
 # One collab pass: refine -> reject -> shape, inside a single compiled scan.
 res = exp.sample(state, method="collab")
