@@ -256,6 +256,60 @@ class Config:
     def replace(self, **kw: Any) -> "Config":
         return dataclasses.replace(self, **kw)
 
+    # -- validation ---------------------------------------------------------
+
+    def validate(self) -> "Config":
+        """Raise ValueError on configurations that are known-broken before
+        any device work starts — a clear message here beats a cryptic XLA
+        or flax error minutes into a run. Returns self for chaining."""
+        problems: list[str] = []
+
+        def need(cond: bool, msg: str) -> None:
+            if not cond:
+                problems.append(msg)
+
+        r, t, e, m = self.refine, self.train, self.eval, self.model
+        need(m.z_dim > 0, f"model.z_dim must be > 0, got {m.z_dim}")
+        need(m.num_classes >= 0,
+             f"model.num_classes must be >= 0, got {m.num_classes}")
+        need(t.batch_size > 0,
+             f"train.batch_size must be > 0, got {t.batch_size}")
+        need(t.niters >= 0, f"train.niters must be >= 0, got {t.niters}")
+        need(t.steps_per_call > 0,
+             f"train.steps_per_call must be > 0, got {t.steps_per_call}")
+        need(0.0 <= t.g_ema_decay < 1.0,
+             f"train.g_ema_decay must be in [0, 1), got {t.g_ema_decay}")
+        need(r.steps >= 0, f"refine.steps must be >= 0, got {r.steps}")
+        need(r.rate >= 0.0, f"refine.rate must be >= 0, got {r.rate}")
+        need(r.batch_size > 0,
+             f"refine.batch_size must be > 0, got {r.batch_size}")
+        need(r.num_batches > 0,
+             f"refine.num_batches must be > 0, got {r.num_batches}")
+        need(r.burn_in > 0, f"refine.burn_in must be > 0, got {r.burn_in}")
+        need(0.0 <= r.stop_score < 1.0,
+             f"refine.stop_score must be in [0, 1) (a sigmoid threshold; "
+             f"1.0 would never trigger), got {r.stop_score}")
+        need(r.proximal >= 0.0,
+             f"refine.proximal must be >= 0, got {r.proximal}")
+        need(r.rate * r.proximal < 2.0,
+             f"refine.rate * refine.proximal = {r.rate * r.proximal:g} "
+             ">= 2: the explicit-Euler proximal anchor oscillates "
+             "divergently (see RefineConfig.proximal) — lower one of them")
+        need(0.0 <= r.gamma_percentile <= 100.0,
+             f"refine.gamma_percentile must be in [0, 100], got "
+             f"{r.gamma_percentile}")
+        need(r.shape_every >= 0,
+             f"refine.shape_every must be >= 0, got {r.shape_every}")
+        need(r.shaping_steps >= 0,
+             f"refine.shaping_steps must be >= 0, got {r.shaping_steps}")
+        need(e.fid_num_samples > 0 and e.fid_batch_size > 0,
+             "eval.fid_num_samples and eval.fid_batch_size must be > 0, "
+             f"got {e.fid_num_samples}/{e.fid_batch_size}")
+        need(e.prd_k > 0, f"eval.prd_k must be > 0, got {e.prd_k}")
+        if problems:
+            raise ValueError("invalid config:\n  - " + "\n  - ".join(problems))
+        return self
+
 
 # ---------------------------------------------------------------------------
 # Presets — the five BASELINE.json configs (+ fashion-mnist split out)

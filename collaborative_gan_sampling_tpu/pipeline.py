@@ -50,13 +50,24 @@ from collaborative_gan_sampling_tpu.utils.prng import step_key
 class Experiment:
     def __init__(self, cfg: Config, use_mesh: bool = False,
                  echo_metrics: bool = True):
-        self.cfg = cfg
+        self.cfg = cfg.validate()
         self.bundle: GANBundle = make_bundle(cfg.model)
         self.base_key = jax.random.PRNGKey(cfg.seed)
         self.workdir = cfg.workdir
         self.ckpt_dir = os.path.join(cfg.workdir, "ckpts")
         self.mesh = (make_mesh(cfg.mesh.data_axis)
                      if use_mesh and len(jax.devices()) > 1 else None)
+        if self.mesh is not None:
+            n = self.mesh.size
+            for name, bs in (("train.batch_size", cfg.train.batch_size),
+                             ("refine.batch_size", cfg.refine.batch_size),
+                             ("eval.fid_batch_size",
+                              cfg.eval.fid_batch_size)):
+                if bs % n:
+                    raise ValueError(
+                        f"{name}={bs} is not divisible by the {n}-device "
+                        "data mesh; batch-axis sharding needs equal "
+                        "per-device shards")
         self._echo = echo_metrics
 
         self.is_2d = cfg.model.kind == "mlp"

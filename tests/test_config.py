@@ -60,3 +60,47 @@ def test_cli_safe_flag_overlays_guards():
                                           safe=False), [])
     assert plain.refine.stop_score == 0.0  # reference-parity default
     assert plain.refine.shaping_target == 0.0
+
+
+def test_validate_catches_common_mistakes():
+    import pytest
+
+    from collaborative_gan_sampling_tpu.config import get_preset
+
+    cfg = get_preset("toy2d")
+    cfg.validate()  # presets are valid
+
+    import dataclasses
+    bad = cfg.replace(refine=dataclasses.replace(cfg.refine, rate=1.0,
+                                                 proximal=3.0))
+    with pytest.raises(ValueError, match="proximal"):
+        bad.validate()
+    bad = cfg.replace(refine=dataclasses.replace(cfg.refine,
+                                                 stop_score=1.0))
+    with pytest.raises(ValueError, match="stop_score"):
+        bad.validate()
+    bad = cfg.replace(train=dataclasses.replace(cfg.train, batch_size=0))
+    with pytest.raises(ValueError, match="train.batch_size"):
+        bad.validate()
+    bad = cfg.replace(refine=dataclasses.replace(cfg.refine,
+                                                 gamma_percentile=150.0))
+    with pytest.raises(ValueError, match="gamma_percentile"):
+        bad.validate()
+
+
+def test_mesh_divisibility_validated():
+    import dataclasses
+
+    import jax
+    import pytest
+
+    from collaborative_gan_sampling_tpu.config import get_preset
+    from collaborative_gan_sampling_tpu.pipeline import Experiment
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-fake-device CI backend")
+    cfg = get_preset("toy2d").replace(
+        workdir="/tmp/mesh_div",
+        train=dataclasses.replace(get_preset("toy2d").train, batch_size=12))
+    with pytest.raises(ValueError, match="not divisible"):
+        Experiment(cfg, use_mesh=True)
