@@ -78,12 +78,11 @@ def main():
     cfg_f = cfg.replace(eval=dataclasses.replace(
         cfg.eval, intra_fid_classes=args.intra))
     exp_f = Experiment(cfg_f, echo_metrics=False)
-    # Reuse the tuning phase's feature net + real stats (same process, same
-    # stream — within-run comparability).
-    exp_f._cached_feature_fn = exp._feature_fn()
-    exp_f._feature_label = exp._feature_label
-    if hasattr(exp, "_real_stats"):
-        exp_f._real_stats = exp._real_stats
+    # Same feature space as the tuning phase (within-run comparability) —
+    # but NOT the tuning phase's real stats: those were computed at the
+    # cheap 2048-sample protocol, and the final table must be full-eval
+    # (adopt_eval_caches auto-excludes stats across protocol mismatches).
+    exp_f.adopt_eval_caches(exp)
 
     table = {}
 

@@ -60,7 +60,9 @@ def main():
     print(f"[ema retune {args.preset}] checkpoint at {int(state.step)}",
           flush=True)
 
-    if args.best_k is not None and args.best_rate is not None:
+    if (args.best_k is None) != (args.best_rate is None):
+        p.error("--best-k and --best-rate must be given together")
+    if args.best_k is not None:
         best_k, best_rate, grid = args.best_k, args.best_rate, {}
     else:
         # Tuning grid on a cheap 2048-sample eval (shares the feature net /
@@ -68,8 +70,7 @@ def main():
         cfg_t = cfg.replace(eval=dataclasses.replace(
             cfg.eval, fid_num_samples=2048))
         exp_t = Experiment(cfg_t, echo_metrics=False)
-        exp_t._cached_feature_fn = exp._feature_fn()
-        exp_t._feature_label = exp._feature_label
+        exp_t.adopt_eval_caches(exp)  # feature space only (protocols differ)
         (best_k, best_rate), grid = exp_t.select_hparams(
             state, ks=args.ks, rates=args.rates, method="collab")
     print(f"[ema retune] best (K, rate) = ({best_k}, {best_rate})",

@@ -49,13 +49,10 @@ def run_checkpoint(preset: str, niters: int, out_dir: str,
     tuned = cfg.replace(refine=dataclasses.replace(
         cfg.refine, steps=best_k, rate=best_rate))
     exp_t = Experiment(tuned, echo_metrics=False)
-    # Reuse the tuning phase's feature net + real stats (deterministic per
-    # (seed, stream), but recomputing them costs a full feature-training
-    # pass per checkpoint on this 1-core host).
-    exp_t._cached_feature_fn = exp._feature_fn()
-    exp_t._feature_label = exp._feature_label
-    if hasattr(exp, "_real_stats"):
-        exp_t._real_stats = exp._real_stats
+    # Reuse the tuning phase's feature net + real stats (identical eval
+    # protocol here, so the stats transfer exactly; recomputing would cost
+    # a full feature-training pass per checkpoint on this 1-core host).
+    exp_t.adopt_eval_caches(exp)
     table = exp_t.benchmark(state, methods=("standard", "reject",
                                             "refinement", "collab"))
     result = {

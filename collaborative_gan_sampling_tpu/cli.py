@@ -59,6 +59,9 @@ def _inspect(cfg) -> dict:
 
     import numpy as np
 
+    from collaborative_gan_sampling_tpu.pipeline import (
+        shaped_d_path as _shaped_d,
+    )
     from collaborative_gan_sampling_tpu.utils.checkpoint import (
         latest_checkpoint,
         restore_checkpoint,
@@ -85,8 +88,7 @@ def _inspect(cfg) -> dict:
         "g_params": n_params(raw.get("g_vars", {}).get("params", {})),
         "d_params": n_params(raw.get("d_vars", {}).get("params", {})),
         "g_ema_tracked": raw.get("g_ema") is not None,
-        "shaped_d_saved": os.path.exists(
-            os.path.join(cfg.workdir, "shaped_d.msgpack")),
+        "shaped_d_saved": os.path.exists(_shaped_d(cfg.workdir)),
         "model_config": saved.get("model"),
     }
     return info

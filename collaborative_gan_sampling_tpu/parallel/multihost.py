@@ -59,14 +59,22 @@ def _cluster_scheduler_detected() -> bool:
     """True when a multi-process cluster scheduler environment is present
     (jax's own auto-detection will then succeed without explicit addresses).
     Strictly conservative: single-process allocations return False."""
-    if int(os.environ.get("SLURM_NTASKS", "1") or 1) > 1:
+    # Multislice marker first: a multislice job of SINGLE-host slices has
+    # TPU_WORKER_HOSTNAMES with one entry but still needs initialization.
+    if os.environ.get("MEGASCALE_COORDINATOR_ADDRESS", ""):
+        return True
+    # Slurm: only when launched as a multi-task srun STEP — the batch
+    # script of an `--ntasks=N` allocation also inherits SLURM_NTASKS=N,
+    # and auto-initializing there would wait forever for N-1 peers that
+    # will never start (the batch step itself runs one task).
+    if (int(os.environ.get("SLURM_NTASKS", "1") or 1) > 1
+            and int(os.environ.get("SLURM_STEP_NUM_TASKS", "1") or 1) > 1
+            and os.environ.get("SLURM_PROCID") is not None):
         return True
     if int(os.environ.get("OMPI_COMM_WORLD_SIZE", "1") or 1) > 1:
         return True
-    # Cloud TPU pod/multislice markers (set by the TPU runtime on multi-host
-    # slices; absent on single-host machines like this one).
+    # Cloud TPU pod marker (set by the TPU runtime on multi-host slices;
+    # absent on single-host machines like this one).
     if os.environ.get("TPU_WORKER_HOSTNAMES", ""):
         return len(os.environ["TPU_WORKER_HOSTNAMES"].split(",")) > 1
-    if os.environ.get("MEGASCALE_COORDINATOR_ADDRESS", ""):
-        return True
     return False

@@ -47,6 +47,12 @@ from collaborative_gan_sampling_tpu.utils.logging import MetricsWriter
 from collaborative_gan_sampling_tpu.utils.prng import step_key
 
 
+def shaped_d_path(workdir: str) -> str:
+    """Where a workdir's persisted shaped discriminator lives (single
+    source of truth — Experiment and `cli inspect` both use this)."""
+    return os.path.join(workdir, "shaped_d.msgpack")
+
+
 class Experiment:
     def __init__(self, cfg: Config, use_mesh: bool = False,
                  echo_metrics: bool = True):
@@ -310,7 +316,7 @@ class Experiment:
     # -- shaped-D persistence (C11 + C15) -----------------------------------
 
     def _shaped_d_path(self) -> str:
-        return os.path.join(self.workdir, "shaped_d.msgpack")
+        return shaped_d_path(self.workdir)
 
     def save_shaped_d(self, result: SampleResult) -> str:
         """Persist the shaped discriminator a collab run produced, so later
@@ -395,6 +401,37 @@ class Experiment:
                     make_feature_fn(spec, self.bundle.data_shape,
                                     seed=self.cfg.seed)
         return self._cached_feature_fn
+
+    def adopt_eval_caches(self, src: "Experiment",
+                          include_real_stats: bool | None = None) -> None:
+        """Adopt `src`'s trained feature net (and optionally its real-data
+        FID stats) so two Experiments over the same data evaluate in the
+        same feature space without retraining — the campaign runners'
+        within-run-comparability pattern, centralized.
+
+        The real stats are REAL-SIDE only and depend on eval.fid_num_samples
+        / fid_batch_size; with the default (None) they are adopted only when
+        both configs agree on those, and requesting them explicitly under a
+        mismatch raises instead of silently mislabeling the eval protocol."""
+        self._cached_feature_fn = src._feature_fn()
+        self._feature_label = src._feature_label
+        same_protocol = (
+            src.cfg.eval.fid_num_samples == self.cfg.eval.fid_num_samples
+            and src.cfg.eval.fid_batch_size == self.cfg.eval.fid_batch_size)
+        if include_real_stats is None:
+            include_real_stats = same_protocol
+        if include_real_stats:
+            if not same_protocol:
+                raise ValueError(
+                    "adopt_eval_caches(include_real_stats=True) across "
+                    "different eval protocols: src has "
+                    f"{src.cfg.eval.fid_num_samples}/"
+                    f"{src.cfg.eval.fid_batch_size} samples/batch, self has "
+                    f"{self.cfg.eval.fid_num_samples}/"
+                    f"{self.cfg.eval.fid_batch_size} — the real-side stats "
+                    "would mislabel the protocol")
+            if hasattr(src, "_real_stats"):
+                self._real_stats = src._real_stats
 
     def real_stats(self, key: jax.Array | None = None):
         """(mu, Sigma) of the real data under the feature net (the

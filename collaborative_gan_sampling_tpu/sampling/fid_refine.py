@@ -87,7 +87,9 @@ def make_fid_refine_fn(feature_fn: Callable, real_stats: FIDStats,
         x_k, vals = jax.lax.scan(step, x0, None, length=steps)
         # vals[0] is the loss AT x0 (each step emits the value at its input),
         # and the end value needs no gradient — no extra backward passes.
-        return x_k, {"fid_start": vals[0], "fid_end": val_fn(x_k),
+        # steps=0 leaves vals empty; fall back to one value-only call.
+        fid_start = vals[0] if steps > 0 else val_fn(x0)
+        return x_k, {"fid_start": fid_start, "fid_end": val_fn(x_k),
                      "fid_trajectory": vals}
 
     return refine

@@ -219,16 +219,28 @@ def test_cluster_scheduler_detection(monkeypatch):
         _cluster_scheduler_detected,
     )
 
-    for var in ("SLURM_NTASKS", "OMPI_COMM_WORLD_SIZE",
-                "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS"):
+    for var in ("SLURM_NTASKS", "SLURM_STEP_NUM_TASKS", "SLURM_PROCID",
+                "OMPI_COMM_WORLD_SIZE", "TPU_WORKER_HOSTNAMES",
+                "MEGASCALE_COORDINATOR_ADDRESS"):
         monkeypatch.delenv(var, raising=False)
     assert _cluster_scheduler_detected() is False
-    monkeypatch.setenv("SLURM_NTASKS", "1")
-    assert _cluster_scheduler_detected() is False  # single-task job
+    # A multi-task ALLOCATION alone (sbatch --ntasks=8 batch script running
+    # python once, no srun) must NOT trigger — initialize() would wait
+    # forever for peers that never start.
     monkeypatch.setenv("SLURM_NTASKS", "4")
+    assert _cluster_scheduler_detected() is False
+    # A multi-task srun STEP does trigger.
+    monkeypatch.setenv("SLURM_STEP_NUM_TASKS", "4")
+    monkeypatch.setenv("SLURM_PROCID", "0")
     assert _cluster_scheduler_detected() is True
-    monkeypatch.setenv("SLURM_NTASKS", "1")
+    for var in ("SLURM_NTASKS", "SLURM_STEP_NUM_TASKS", "SLURM_PROCID"):
+        monkeypatch.delenv(var, raising=False)
     monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host0")
     assert _cluster_scheduler_detected() is False  # single-host slice
     monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host0,host1")
+    assert _cluster_scheduler_detected() is True
+    # Multislice of single-host slices: MEGASCALE marker wins even with a
+    # one-entry hostname list.
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host0")
+    monkeypatch.setenv("MEGASCALE_COORDINATOR_ADDRESS", "10.0.0.1:8476")
     assert _cluster_scheduler_detected() is True
