@@ -156,3 +156,37 @@ def test_g_fwd_s2d_matches_flax():
                                    rtol=2e-5, atol=2e-5,
                                    err_msg=f"(size={size}, ch={ch}, "
                                            f"classes={classes})")
+
+
+def test_s2d_parity_all_knobs_combined():
+    """Objective + clip + stop + proximal all on at once: the s2d fast
+    path must stay within fp tolerance of the oracle scan under knob
+    INTERACTIONS, not just each knob alone."""
+    import dataclasses as _dc
+
+    from collaborative_gan_sampling_tpu.config import (
+        ModelConfig,
+        RefineConfig,
+    )
+    from collaborative_gan_sampling_tpu.models import make_bundle
+    from collaborative_gan_sampling_tpu.sampling.refine import make_refine_fn
+
+    mcfg = ModelConfig(kind="dcgan", z_dim=8, image_size=16, channels=3,
+                       g_base_filters=8, d_base_filters=8, num_classes=4,
+                       compute_dtype="float32")
+    bundle = make_bundle(mcfg)
+    _, d_vars = bundle.init(jax.random.PRNGKey(0))
+    x0 = jax.random.uniform(jax.random.PRNGKey(1), (8, 16, 16, 3),
+                            minval=-1.0, maxval=1.0)
+    labels = jax.random.randint(jax.random.PRNGKey(2), (8,), 0, 4)
+    kw = dict(steps=5, rate=0.05, objective="saturating", clip_norm=0.5,
+              stop_score=0.6, proximal=0.8, use_pallas=False)
+    fast = make_refine_fn(bundle, RefineConfig(use_s2d=True, **kw))
+    oracle = make_refine_fn(bundle, RefineConfig(use_s2d=False, **kw))
+    xf, af = jax.jit(lambda x: fast(d_vars, x, labels))(x0)
+    xo, ao = jax.jit(lambda x: oracle(d_vars, x, labels))(x0)
+    np.testing.assert_allclose(np.asarray(xf), np.asarray(xo),
+                               rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(af["logits"]),
+                               np.asarray(ao["logits"]),
+                               rtol=3e-5, atol=3e-5)

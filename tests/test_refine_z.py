@@ -127,3 +127,32 @@ def test_space_validation():
         assert "space" in str(e)
     else:
         raise AssertionError("bad refine.space accepted")
+
+
+def test_z_refine_conditional_labels_flow_through():
+    """z-space drift with a conditional (label-embedding G, projection D)
+    model: labels thread through G and D inside the drift scan, and
+    targeted labels are preserved in the output."""
+    from collaborative_gan_sampling_tpu.config import (
+        ModelConfig,
+        RefineConfig,
+    )
+    from collaborative_gan_sampling_tpu.models import make_bundle
+    from collaborative_gan_sampling_tpu.sampling.refine import (
+        make_draw_refine_fn,
+    )
+
+    mcfg = ModelConfig(kind="dcgan", z_dim=8, image_size=16, channels=1,
+                       g_base_filters=8, d_base_filters=8, num_classes=4,
+                       compute_dtype="float32")
+    bundle = make_bundle(mcfg)
+    g_vars, d_vars = bundle.init(jax.random.PRNGKey(0))
+    cfg = RefineConfig(steps=3, rate=0.05, space="z", use_pallas=False)
+    dr = make_draw_refine_fn(bundle, cfg)
+    want = jnp.full((16,), 2, jnp.int32)
+    x, labels, logits = jax.jit(
+        lambda: dr(g_vars, d_vars, jax.random.PRNGKey(1), 16, labels=want))()
+    assert x.shape == (16, 16, 16, 1)
+    np.testing.assert_array_equal(np.asarray(labels), np.asarray(want))
+    assert np.isfinite(np.asarray(x)).all()
+    assert np.isfinite(np.asarray(logits)).all()
