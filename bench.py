@@ -123,6 +123,35 @@ def _pipeline_flops_per_sample(mcfg, steps_k: int) -> float:
     return g_fwd + (2 * steps_k + 1) * d_fwd
 
 
+def _backend_ready(seconds: float = 180.0) -> bool:
+    """True once jax.devices() returns. On this host a dead tunnel relay
+    makes backend init HANG (not error); probing in a daemon thread turns
+    an infinite hang into a clean failure line for the driver."""
+    import threading
+
+    ok = {}
+
+    def probe():
+        try:
+            jax.devices()
+            ok["ready"] = True
+        except Exception as e:
+            ok["error"] = str(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(seconds)
+    if "ready" in ok:
+        return True
+    print(json.dumps({"metric": "refined_samples_per_sec_per_chip_k10_mnist",
+                      "value": None, "unit": "samples/sec",
+                      "vs_baseline": None,
+                      "error": ok.get("error",
+                                      f"backend init timeout ({seconds}s) — "
+                                      "TPU tunnel relay down?")}))
+    return False
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
     from collaborative_gan_sampling_tpu.utils.compile_cache import (
@@ -130,6 +159,8 @@ def main() -> int:
     )
 
     enable_compile_cache()
+    if not _backend_ready():
+        return 1
     p.add_argument("--batch", type=int, default=2048)
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--preset", default="mnist",
