@@ -88,3 +88,14 @@ def test_cli_generate_only_keys_rejected_elsewhere():
 
     with pytest.raises(KeyError, match="no field 'n'"):
         cli_main(["eval", "--config", "toy2d", "n=500"])
+
+
+def test_backend_watchdogs_happy_path():
+    """The dead-relay watchdogs must be no-ops when the backend is alive
+    (CPU fake-device CI backend here)."""
+    import bench
+    import __graft_entry__ as ge
+
+    assert bench._backend_ready(seconds=60.0) is True
+    n = ge._device_count_with_timeout(seconds=60.0)
+    assert n == len(jax.devices())

@@ -78,3 +78,46 @@ def test_estimate_logit_max():
                            burn_in=2048, batch_size=256)
     # max of ~2048 N(0, sqrt(2)) draws: around 4.5, certainly in [3, 7]
     assert 3.0 < float(m) < 7.0
+
+
+def test_acceptance_prob_monotone_in_gamma_and_logit():
+    """DRS math invariants: p is non-increasing in gamma (larger shift =
+    stricter) and non-decreasing in the raw logit (D-preferred samples are
+    never less likely to be accepted)."""
+    from collaborative_gan_sampling_tpu.sampling.rejection import (
+        drs_acceptance_prob,
+    )
+
+    logits = jnp.linspace(-5.0, 3.0, 64)
+    m = jnp.float32(3.5)
+    p0 = np.asarray(drs_acceptance_prob(logits, m, gamma=0.0))
+    p1 = np.asarray(drs_acceptance_prob(logits, m, gamma=1.0))
+    p2 = np.asarray(drs_acceptance_prob(logits, m, gamma=3.0))
+    assert (p1 <= p0 + 1e-7).all() and (p2 <= p1 + 1e-7).all()
+    # Monotone in the logit (F_hat is increasing in F for F < M).
+    assert (np.diff(p0) >= -1e-7).all()
+    assert ((0.0 <= p0) & (p0 <= 1.0)).all()
+
+
+def test_percentile_gamma_centres_acceptance():
+    """Dynamic gamma: the sample AT the percentile gets exactly p = 0.5
+    (sigmoid(F_hat - percentile(F_hat)) = sigmoid(0)), and raising the
+    percentile strictly lowers the batch's mean acceptance. (The mean is
+    NOT (100-pct)% — the sigmoid is soft, so below-percentile samples
+    keep nonzero probability.)"""
+    from collaborative_gan_sampling_tpu.sampling.rejection import (
+        drs_acceptance_prob,
+        drs_logit_shift,
+    )
+
+    logits = jax.random.normal(jax.random.PRNGKey(0), (4096,))
+    m = jnp.max(logits) + 0.5
+    means = []
+    for pct in (50.0, 80.0):
+        p = np.asarray(drs_acceptance_prob(logits, m,
+                                           gamma_percentile=pct))
+        shifted = np.asarray(drs_logit_shift(logits, m))
+        at_pct = np.argmin(np.abs(shifted - np.percentile(shifted, pct)))
+        assert abs(p[at_pct] - 0.5) < 0.02, (pct, p[at_pct])
+        means.append(p.mean())
+    assert means[1] < means[0]  # stricter percentile accepts less
