@@ -113,7 +113,7 @@ def main(argv: list[str] | None = None) -> int:
                         choices=["train", "refine", "collab", "benchmark",
                                  "eval", "sweep", "tune", "teaser",
                                  "profile", "generate", "inspect",
-                                 "presets"])
+                                 "import-tf1", "presets"])
     parser.add_argument("--config", default="toy2d",
                         help=f"preset: {list_presets()}")
     parser.add_argument("--workdir", default="")
@@ -149,6 +149,7 @@ def main(argv: list[str] | None = None) -> int:
     tune_stops = None
     tune_proxs = None
     gen_n, gen_out, gen_class = 10_000, "", None
+    tf1_src, tf1_step = "", None
     kept = []
     for ov in overrides:
         if ov.startswith("sweep_steps="):
@@ -172,9 +173,30 @@ def main(argv: list[str] | None = None) -> int:
             gen_out = ov.split("=", 1)[1]
         elif args.command == "generate" and ov.startswith("class="):
             gen_class = int(ov.split("=", 1)[1])
+        elif args.command == "import-tf1" and ov.startswith("tf1="):
+            tf1_src = ov.split("=", 1)[1]
+        elif args.command == "import-tf1" and ov.startswith("step="):
+            tf1_step = int(ov.split("=", 1)[1])
         else:
             kept.append(ov)
     cfg = _build_cfg(args, kept)
+
+    if args.command == "import-tf1":
+        # Migration path for reference users: convert a TF1 tf.train.Saver
+        # checkpoint (SURVEY.md C15) into a native checkpoint in the workdir
+        # ('cgs import-tf1 --config celeba tf1=/path/to/ckpt_dir [step=N]'),
+        # after which refine/collab/benchmark/eval run on the imported (G, D).
+        if not tf1_src:
+            print("import-tf1 requires tf1=<path to TF1 checkpoint dir or "
+                  "prefix>", file=sys.stderr)
+            return 2
+        from collaborative_gan_sampling_tpu.compat.tf1_import import (
+            tf1_to_checkpoint,
+        )
+
+        path = tf1_to_checkpoint(tf1_src, cfg, step=tf1_step)
+        print(json.dumps({"checkpoint": path, "workdir": cfg.workdir}))
+        return 0
 
     if args.command == "inspect":
         # Checkpoint introspection — never trains, never touches the
