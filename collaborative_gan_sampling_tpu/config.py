@@ -203,6 +203,11 @@ class EvalConfig:
     fid_batch_size: int = 256
     feature_net: str = "auto"  # 'auto' | 'random_conv' | path to inception params
     feature_train_steps: int = 1500  # classifier-feature training budget
+    # Precomputed real-data (mu, Sigma) npz (the reference's pattern, C13):
+    # loaded if the file exists (pytorch-fid/TTUR key conventions accepted),
+    # computed-and-saved there otherwise. Must match feature_net — files
+    # written by this framework carry the label and are checked.
+    real_stats_path: str = ""
     # 0 = robust eigh cross term (default); >0 = Newton-Schulz with that
     # many iterations (all-matmul MXU path, needs well-conditioned stats).
     newton_schulz_iters: int = 0

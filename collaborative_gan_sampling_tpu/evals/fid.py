@@ -144,6 +144,50 @@ def frechet_distance_host(a: FIDStats, b: FIDStats) -> float:
     return float(diff @ diff + np.trace(s_a) + np.trace(s_b) - 2 * tr_cross)
 
 
+def save_stats(path: str, stats: FIDStats, feature_net: str = "") -> None:
+    """Persist real-data (mu, Sigma) as an npz (the reference's precomputed-
+    stats pattern, SURVEY.md C13 / TTUR fid.py). Keys follow the pytorch-fid
+    convention (``mu``, ``sigma``) so files interoperate both ways; the
+    feature-net label travels along to catch cross-feature-net reuse."""
+    import os
+
+    import numpy as np
+
+    tmp = path + ".tmp"
+    np.savez(tmp, mu=np.asarray(stats.mu), sigma=np.asarray(stats.sigma),
+             n=np.asarray(stats.n), feature_net=np.asarray(feature_net))
+    # np.savez appends .npz to paths without it
+    os.replace(tmp if tmp.endswith(".npz") else tmp + ".npz", path)
+
+
+def load_stats(path: str) -> tuple[FIDStats, str]:
+    """FIDStats from an npz written by save_stats OR by pytorch-fid/TTUR
+    tooling (``mu``/``sigma``, with ``mean``/``cov`` accepted as aliases).
+    Returns (stats, feature_net_label) — label "" when the file carries
+    none (foreign files: the caller cannot verify the feature net; use
+    stats computed under the same feature model only)."""
+    import numpy as np
+
+    with np.load(path, allow_pickle=False) as z:
+        keys = set(z.files)
+        mu_key = "mu" if "mu" in keys else "mean" if "mean" in keys else None
+        sig_key = ("sigma" if "sigma" in keys
+                   else "cov" if "cov" in keys else None)
+        if mu_key is None or sig_key is None:
+            raise ValueError(
+                f"{path}: not a FID-stats npz — expected keys mu/sigma "
+                f"(or mean/cov), found {sorted(keys)}")
+        mu = jnp.asarray(z[mu_key], jnp.float32)
+        sigma = jnp.asarray(z[sig_key], jnp.float32)
+        n = jnp.float32(z["n"]) if "n" in keys else jnp.float32(0.0)
+        label = str(z["feature_net"]) if "feature_net" in keys else ""
+    if mu.ndim != 1 or sigma.shape != (mu.shape[0], mu.shape[0]):
+        raise ValueError(
+            f"{path}: inconsistent stats shapes mu={mu.shape}, "
+            f"sigma={sigma.shape}")
+    return FIDStats(mu=mu, sigma=sigma, n=n), label
+
+
 def fid_between(feature_fn: Callable, real_fn: Callable, fake_fn: Callable,
                 num_samples: int, batch_size: int, key: jax.Array,
                 newton_schulz_iters: int = 20) -> jax.Array:

@@ -434,13 +434,41 @@ class Experiment:
                 self._real_stats = src._real_stats
 
     def real_stats(self, key: jax.Array | None = None):
-        """(mu, Sigma) of the real data under the feature net (the
-        reference's precomputed-npz pattern — computed once, cached)."""
+        """(mu, Sigma) of the real data under the feature net — computed
+        once and cached in-process; with eval.real_stats_path additionally
+        persisted to / loaded from an npz (the reference's precomputed-stats
+        pattern, SURVEY.md C13 — pytorch-fid key conventions accepted, so
+        externally computed Inception stats drop in)."""
         if not hasattr(self, "_real_stats"):
+            import os
+
+            from collaborative_gan_sampling_tpu.evals.fid import (
+                load_stats,
+                save_stats,
+            )
+
             cfg = self.cfg.eval
             key = key if key is not None else step_key(self.base_key, 1,
                                                        "eval")
             feature_fn = self._feature_fn()
+            if cfg.real_stats_path and os.path.exists(cfg.real_stats_path):
+                stats, label = load_stats(cfg.real_stats_path)
+                if label and label != self._feature_label:
+                    raise ValueError(
+                        f"{cfg.real_stats_path} was computed under feature "
+                        f"net {label!r} but this run uses "
+                        f"{self._feature_label!r} — FID across feature nets "
+                        "is meaningless; recompute or fix eval.feature_net")
+                fdim = jax.eval_shape(
+                    feature_fn,
+                    jax.ShapeDtypeStruct(
+                        (1, *self.bundle.data_shape), jnp.float32)).shape[-1]
+                if stats.mu.shape[0] != fdim:
+                    raise ValueError(
+                        f"{cfg.real_stats_path}: stats are {stats.mu.shape[0]}"
+                        f"-dim but the feature net emits {fdim}-dim features")
+                self._real_stats = stats
+                return self._real_stats
             nb = max(1, cfg.fid_num_samples // cfg.fid_batch_size)
 
             def real_batch(k, n):
@@ -450,6 +478,10 @@ class Experiment:
             self._real_stats = jax.jit(
                 lambda k: streaming_stats(feature_fn, real_batch, nb,
                                           cfg.fid_batch_size, k))(key)
+            if cfg.real_stats_path:
+                save_stats(cfg.real_stats_path,
+                           jax.device_get(self._real_stats),
+                           feature_net=self._feature_label)
         return self._real_stats
 
     @staticmethod

@@ -230,3 +230,59 @@ def test_fid_discriminates_distributions():
     fid_same = float(frechet_distance(s1, s2))
     fid_diff = float(frechet_distance(s1, s3))
     assert fid_diff > 10 * max(fid_same, 1e-3)
+
+
+# -- precomputed real-stats npz (SURVEY.md C13: the reference's pattern) ----
+
+def _rand_stats(dim=6, seed=0):
+    from collaborative_gan_sampling_tpu.evals.fid import FIDStats
+
+    rng = np.random.default_rng(seed)
+    a = rng.standard_normal((32, dim)).astype(np.float32)
+    return FIDStats(mu=jnp.asarray(a.mean(0)),
+                    sigma=jnp.asarray(np.cov(a, rowvar=False,
+                                             dtype=np.float32)),
+                    n=jnp.float32(32))
+
+
+def test_stats_npz_roundtrip(tmp_path):
+    from collaborative_gan_sampling_tpu.evals.fid import load_stats, save_stats
+
+    stats = _rand_stats()
+    path = str(tmp_path / "real_stats.npz")
+    save_stats(path, stats, feature_net="random_conv")
+    loaded, label = load_stats(path)
+    assert label == "random_conv"
+    np.testing.assert_allclose(np.asarray(loaded.mu), np.asarray(stats.mu))
+    np.testing.assert_allclose(np.asarray(loaded.sigma),
+                               np.asarray(stats.sigma))
+    assert float(loaded.n) == 32
+
+
+def test_stats_npz_pytorch_fid_convention(tmp_path):
+    """Foreign npz files (pytorch-fid: mu/sigma; TTUR: mean/cov aliases)
+    load without n or a feature-net label."""
+    from collaborative_gan_sampling_tpu.evals.fid import load_stats
+
+    stats = _rand_stats(dim=4, seed=1)
+    p1 = str(tmp_path / "ptfid.npz")
+    np.savez(p1, mu=np.asarray(stats.mu), sigma=np.asarray(stats.sigma))
+    loaded, label = load_stats(p1)
+    assert label == ""
+    np.testing.assert_allclose(np.asarray(loaded.mu), np.asarray(stats.mu))
+
+    p2 = str(tmp_path / "ttur.npz")
+    np.savez(p2, mean=np.asarray(stats.mu), cov=np.asarray(stats.sigma))
+    loaded2, _ = load_stats(p2)
+    np.testing.assert_allclose(np.asarray(loaded2.sigma),
+                               np.asarray(stats.sigma))
+
+    p3 = str(tmp_path / "junk.npz")
+    np.savez(p3, foo=np.zeros(3))
+    with pytest.raises(ValueError, match="expected keys"):
+        load_stats(p3)
+
+    p4 = str(tmp_path / "bad_shape.npz")
+    np.savez(p4, mu=np.zeros(4), sigma=np.zeros((3, 3)))
+    with pytest.raises(ValueError, match="inconsistent"):
+        load_stats(p4)

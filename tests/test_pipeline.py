@@ -377,3 +377,52 @@ def test_load_or_train_resumes_behind_checkpoint(tmp_path):
     # At-or-ahead checkpoints load without training (niters override).
     state3 = exp2.load_or_train(niters=40)
     assert int(state3.step) == 80
+
+
+def test_real_stats_npz_persistence(tmp_path):
+    """eval.real_stats_path: computed-and-saved on first use, loaded by
+    later processes (proven by perturbing the file), guarded against
+    feature-net and dimension mismatches."""
+    import dataclasses
+
+    from collaborative_gan_sampling_tpu.evals.fid import (
+        FIDStats,
+        load_stats,
+        save_stats,
+    )
+
+    path = str(tmp_path / "real_stats.npz")
+    base = _tiny_image_cfg(tmp_path / "run")
+    cfg = base.replace(eval=dataclasses.replace(base.eval,
+                                                real_stats_path=path))
+
+    exp1 = Experiment(cfg, echo_metrics=False)
+    s1 = exp1.real_stats()
+    assert os.path.exists(path)
+
+    # Perturb the file; a fresh Experiment must return the perturbed stats
+    # (i.e. it loaded the npz instead of recomputing).
+    stats, label = load_stats(path)
+    assert label == "random_conv"
+    save_stats(path, FIDStats(mu=stats.mu + 1.0, sigma=stats.sigma,
+                              n=stats.n), feature_net=label)
+    exp2 = Experiment(cfg, echo_metrics=False)
+    s2 = exp2.real_stats()
+    np.testing.assert_allclose(np.asarray(s2.mu), np.asarray(s1.mu) + 1.0,
+                               rtol=1e-6)
+
+    # Feature-net label mismatch -> clear error, not a silently wrong FID.
+    save_stats(path, stats, feature_net="rotnet")
+    exp3 = Experiment(cfg, echo_metrics=False)
+    with pytest.raises(ValueError, match="feature net"):
+        exp3.real_stats()
+
+    # Dimension mismatch (foreign unlabeled file) -> clear error.
+    import numpy as _np
+    _np.savez(path.replace(".npz", "_bad.npz"), mu=_np.zeros(7, _np.float32),
+              sigma=_np.eye(7, dtype=_np.float32))
+    cfg_bad = base.replace(eval=dataclasses.replace(
+        base.eval, real_stats_path=path.replace(".npz", "_bad.npz")))
+    exp4 = Experiment(cfg_bad, echo_metrics=False)
+    with pytest.raises(ValueError, match="-dim"):
+        exp4.real_stats()

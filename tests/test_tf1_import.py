@@ -226,6 +226,40 @@ def test_mlp_import_explicit_scopes_and_chain_error():
                    d_scopes=["d_fc0", "d_fc1", "d_fc2", "d_out"])
 
 
+def test_cli_import_tf1_command(tmp_path):
+    """`cgs import-tf1 --config toy2d tf1=<saver dir>` writes a native
+    checkpoint the sampling commands pick up (the documented migration)."""
+    batch = 4
+    z = RNG.standard_normal((batch, 4)).astype(np.float32)
+    with tf.Graph().as_default():
+        z_ph, _, gen, _ = _build_tf1_mlp(batch)
+        with tf.Session() as sess:
+            sess.run(tf.global_variables_initializer())
+            g_want = sess.run(gen, {z_ph: z})
+            tf.train.Saver().save(sess, os.path.join(str(tmp_path), "model"),
+                                  global_step=3)
+
+    from collaborative_gan_sampling_tpu.cli import main
+
+    wd = os.path.join(str(tmp_path), "wd")
+    rc = main(["import-tf1", "--config", "toy2d", "--workdir", wd,
+               f"tf1={tmp_path}",
+               "model.z_dim=4", "model.g_hidden=32", "model.g_layers=3",
+               "model.d_hidden=32", "model.d_layers=3",
+               "model.compute_dtype=float32"])
+    assert rc == 0
+
+    from collaborative_gan_sampling_tpu.utils.checkpoint import (
+        latest_checkpoint,
+        restore_checkpoint,
+    )
+
+    raw = restore_checkpoint(latest_checkpoint(os.path.join(wd, "ckpts")))
+    g_vars = {"params": raw["g_vars"]["params"]}
+    got = make_bundle(MLP_CFG).generate(g_vars, jnp.asarray(z), train=False)
+    np.testing.assert_allclose(np.asarray(got), g_want, rtol=1e-4, atol=1e-5)
+
+
 def test_tf1_to_checkpoint_feeds_load_or_train(tmp_path):
     """The end-to-end migration: import -> native checkpoint -> load_or_train
     returns the imported weights without retraining on top of them."""
