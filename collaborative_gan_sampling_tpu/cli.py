@@ -112,7 +112,7 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("command",
                         choices=["train", "refine", "collab", "benchmark",
                                  "eval", "sweep", "tune", "teaser",
-                                 "profile", "generate", "inspect",
+                                 "profile", "generate", "export", "inspect",
                                  "import-tf1", "presets"])
     parser.add_argument("--config", default="toy2d",
                         help=f"preset: {list_presets()}")
@@ -150,6 +150,7 @@ def main(argv: list[str] | None = None) -> int:
     tune_proxs = None
     gen_n, gen_out, gen_class = 10_000, "", None
     tf1_src, tf1_step = "", None
+    exp_out, exp_platforms = "", None
     kept = []
     for ov in overrides:
         if ov.startswith("sweep_steps="):
@@ -177,6 +178,12 @@ def main(argv: list[str] | None = None) -> int:
             tf1_src = ov.split("=", 1)[1]
         elif args.command == "import-tf1" and ov.startswith("step="):
             tf1_step = int(ov.split("=", 1)[1])
+        elif args.command == "export" and ov.startswith("out="):
+            exp_out = ov.split("=", 1)[1]
+        elif args.command == "export" and ov.startswith("platforms="):
+            exp_platforms = tuple(ov.split("=", 1)[1].split(","))
+        elif args.command == "export" and ov.startswith("class="):
+            gen_class = int(ov.split("=", 1)[1])
         else:
             kept.append(ov)
     cfg = _build_cfg(args, kept)
@@ -264,6 +271,20 @@ def main(argv: list[str] | None = None) -> int:
         _, _, stats = exp.generate(state, gen_n, method=method,
                                    out=gen_out or None, class_id=gen_class)
         print(json.dumps(stats))
+        return 0
+
+    if args.command == "export":
+        # AOT serving export: the serving round (weights + DRS calibration
+        # + shaped D baked in) as a self-contained StableHLO artifact
+        # ('out=sampler.stablehlo', 'platforms=tpu,cpu', 'class=7');
+        # load anywhere with sampling.export.load_sampler — no model code.
+        if not exp_out:
+            print("export requires out=<artifact path>", file=sys.stderr)
+            return 2
+        meta = exp.export(state, exp_out,
+                          method=args.method or None,
+                          platforms=exp_platforms, class_id=gen_class)
+        print(json.dumps({"out": exp_out, **meta}))
         return 0
 
     if args.command == "profile":

@@ -257,6 +257,41 @@ class Experiment:
             stats["out"] = out
         return samples, labels, stats
 
+    def export(self, state: TrainState, out: str,
+               method: str | None = None, use_shaped_d: bool = False,
+               platforms: tuple[str, ...] | None = None,
+               class_id: int | None = None, key: jax.Array | None = None,
+               ) -> dict:
+        """AOT serving export (sampling/export.py): serialize the serving
+        round — weights, DRS calibration and (for collab) the shaped D
+        baked in — to a self-contained StableHLO artifact at `out`.
+        Shaped-D handling mirrors generate(): load it, or shape-and-persist
+        on first use. Returns the sidecar meta dict."""
+        from collaborative_gan_sampling_tpu.sampling.export import (
+            export_sampler,
+        )
+        from collaborative_gan_sampling_tpu.sampling.serve import (
+            ServingSampler,
+        )
+        method = method or self.cfg.refine.method
+        key = key if key is not None else step_key(self.base_key, 11, "eval")
+        d_vars = state.d_vars
+        if method == "collab":
+            if use_shaped_d or os.path.exists(self._shaped_d_path()):
+                d_vars = self.load_shaped_d(template=state.d_vars)
+            else:
+                res = self.sample(state, method="collab",
+                                  key=jax.random.fold_in(key, 0))
+                self.save_shaped_d(res)
+                d_vars = res.aux["shaped_d_vars"]
+        elif use_shaped_d:
+            d_vars = self.load_shaped_d(template=state.d_vars)
+        srv = ServingSampler(self.bundle, self.cfg.refine, method=method,
+                             mesh=None, class_id=class_id)
+        return export_sampler(srv, sampling_g_vars(state), d_vars,
+                              jax.random.fold_in(key, 1), out,
+                              platforms=platforms)
+
     def fid_refine(self, state: TrainState, key: jax.Array | None = None,
                    steps: int | None = None,
                    rate: float | None = None) -> SampleResult:
