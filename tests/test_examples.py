@@ -16,6 +16,8 @@ EXAMPLES = [
     "shaped_d_reuse.py",
     "custom_data.py",
     "inception_fid.py",
+    "export_serving.py",
+    "migrate_tf1.py",
 ]
 
 
