@@ -99,6 +99,9 @@ class TrainConfig:
     log_every: int = 200
     ckpt_every: int = 1000
     viz_every: int = 0  # 0 = off
+    # Mirror train metrics as TensorBoard scalars to <workdir>/tb (the
+    # reference image trainer's convention, C10) alongside the JSONL.
+    tensorboard: bool = False
 
 
 @dataclass(frozen=True)

@@ -124,7 +124,11 @@ class Experiment:
                                  self.base_key, mesh=self.mesh)
         spc = cfg.train.steps_per_call
         writer = MetricsWriter(os.path.join(self.workdir, "train.jsonl"),
-                               echo=self._echo)
+                               echo=self._echo,
+                               tensorboard_dir=(os.path.join(self.workdir,
+                                                             "tb")
+                                                if cfg.train.tensorboard
+                                                else None))
         import time as _time
         tail_chunk = None
         try:

@@ -8,6 +8,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from collaborative_gan_sampling_tpu.cli import main as cli_main
 from collaborative_gan_sampling_tpu.utils.profiling import block, timeit
@@ -99,3 +100,30 @@ def test_backend_watchdogs_happy_path():
     assert bench._backend_ready(seconds=60.0) is True
     n = ge._device_count_with_timeout(seconds=60.0)
     assert n == len(jax.devices())
+
+
+def test_metrics_writer_tensorboard_mirror(tmp_path):
+    """train.tensorboard: scalar events land in a TB event file alongside
+    the JSONL (the reference image trainer's convention, SURVEY.md C10)."""
+    pytest.importorskip("tensorflow")
+    import os
+
+    from collaborative_gan_sampling_tpu.utils.logging import MetricsWriter
+
+    tb_dir = str(tmp_path / "tb")
+    with MetricsWriter(str(tmp_path / "m.jsonl"), echo=False,
+                       tensorboard_dir=tb_dir) as w:
+        w.write(1, d_loss=1.5, g_loss=0.7, note="skipped-non-numeric")
+        w.write(2, d_loss=1.2, g_loss=0.9)
+    events = [f for f in os.listdir(tb_dir) if "tfevents" in f]
+    assert len(events) == 1
+
+    import tensorflow as tf
+
+    tags = set()
+    for rec in tf.compat.v1.train.summary_iterator(
+            os.path.join(tb_dir, events[0])):
+        for v in rec.summary.value:
+            tags.add(v.tag)
+    assert {"d_loss", "g_loss", "t"} <= tags
+    assert "note" not in tags
