@@ -125,6 +125,11 @@ def export_tf_savedmodel(sampler: ServingSampler, g_vars: Any, d_vars: Any,
     import tensorflow as tf
     from jax.experimental import jax2tf
 
+    if not tf.executing_eagerly():
+        raise RuntimeError(
+            "export_tf_savedmodel needs TensorFlow eager mode "
+            "(tf.saved_model.save is a TF2 API); this process has "
+            "tf.compat.v1.disable_eager_execution() in effect")
     if sampler.mesh is not None:
         raise ValueError("export a single-device program (mesh=None)")
     k_cal, _ = jax.random.split(key)

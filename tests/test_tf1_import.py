@@ -12,8 +12,9 @@ import os
 import numpy as np
 import pytest
 
+# No global disable_eager_execution() (it would break tf.saved_model in
+# this pytest process); each graph lives in an explicit tf.Graph() context.
 tf = pytest.importorskip("tensorflow").compat.v1
-tf.disable_eager_execution()
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402

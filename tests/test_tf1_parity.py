@@ -10,8 +10,11 @@ shared weights.
 import numpy as np
 import pytest
 
+# No global disable_eager_execution(): every graph is built inside an
+# explicit `with tf.Graph().as_default()` context (graph mode locally),
+# leaving process-global eager mode on for tf.saved_model users
+# (tests/test_export.py) collected in the same pytest process.
 tf = pytest.importorskip("tensorflow").compat.v1
-tf.disable_eager_execution()
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
