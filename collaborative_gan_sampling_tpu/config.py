@@ -89,6 +89,13 @@ class TrainConfig:
     # with the two losses' cotangents. Simultaneous-update semantics
     # (ignores d_steps/g_steps); ~1 G-fwd + 1 D-fwd cheaper per iteration.
     fused_prop: bool = False
+    # R1 gradient penalty (Mescheder et al., arXiv:1801.04406):
+    # 0.5 * gamma * E[||grad_x D(x_real)||^2] added to the D loss. Smooths
+    # D's data-space gradient field — the exact object refinement follows
+    # (SURVEY.md C4) — so it is a natural training-time companion to
+    # shaping; 0 = off (the reference trains unregularized). Reported as
+    # the 'r1' train metric (the raw E||grad||^2, before gamma/2).
+    r1_gamma: float = 0.0
     g_ema_decay: float = 0.0  # exponential moving average of G params
     # (ema = d_t*ema + (1-d_t)*params per iteration, with the TF1
     # num_updates decay warmup d_t = min(d, (1+t)/(10+t)) so short runs
@@ -287,6 +294,8 @@ class Config:
              f"train.steps_per_call must be > 0, got {t.steps_per_call}")
         need(0.0 <= t.g_ema_decay < 1.0,
              f"train.g_ema_decay must be in [0, 1), got {t.g_ema_decay}")
+        need(t.r1_gamma >= 0.0,
+             f"train.r1_gamma must be >= 0, got {t.r1_gamma}")
         need(r.steps >= 0, f"refine.steps must be >= 0, got {r.steps}")
         need(r.rate >= 0.0, f"refine.rate must be >= 0, got {r.rate}")
         need(r.batch_size > 0,

@@ -87,6 +87,31 @@ def _merge_stats(variables: Any, updates: Any) -> dict:
     return v
 
 
+def _real_pass(bundle: GANBundle, d_vars: Any, x_real: jax.Array,
+               labels_r: jax.Array | None, r1_gamma: float):
+    """D forward on the real batch; with R1 also E[||grad_x D||^2].
+
+    R1 gradient penalty (Mescheder et al., arXiv:1801.04406): differentiate
+    the same train-mode forward used by the loss with respect to its input,
+    so enabling the penalty costs one extra backward (plus the second-order
+    terms in the parameter gradient), not an extra forward. Returns
+    ``(logits_real, stats_update, r1 | None)`` — the raw E||grad||^2; the
+    caller scales by gamma/2.
+    """
+    if r1_gamma <= 0.0:
+        lr, upd = bundle.discriminate(d_vars, x_real, labels_r, train=True)
+        return lr, upd, None
+
+    def real_sum(x):
+        lr, upd = bundle.discriminate(d_vars, x, labels_r, train=True)
+        return jnp.sum(lr), (lr, upd)
+
+    gx, (lr, upd) = jax.grad(real_sum, has_aux=True)(x_real)
+    r1 = jnp.mean(jnp.sum(jnp.square(gx.astype(jnp.float32)),
+                          axis=tuple(range(1, gx.ndim))))
+    return lr, upd, r1
+
+
 def make_optimizers(cfg: TrainConfig) -> tuple[optax.GradientTransformation,
                                                optax.GradientTransformation]:
     # Matches the reference's AdamOptimizer(lr, beta1) (carpedm20 defaults
@@ -140,24 +165,29 @@ def make_train_chunk(bundle: GANBundle, cfg: TrainConfig, data_fn: DataFn,
 
         def loss_fn(d_params):
             d_vars = _with_params(state.d_vars, d_params)
-            lr_real, upd = bundle.discriminate(d_vars, x_real, labels_r,
-                                               train=True)
+            lr_real, upd, r1 = _real_pass(bundle, d_vars, x_real, labels_r,
+                                          cfg.r1_gamma)
             d_vars2 = _merge_stats(d_vars, upd)
             lr_fake, upd2 = bundle.discriminate(d_vars2, x_fake, labels_f,
                                                 train=True)
             loss = nonsaturating_d_loss(lr_real, lr_fake)
-            return loss, (upd2, lr_real, lr_fake)
+            if r1 is not None:
+                loss = loss + 0.5 * cfg.r1_gamma * r1
+            return loss, (upd2, lr_real, lr_fake, r1)
 
-        (loss, (upd, lr_real, lr_fake)), grads = jax.value_and_grad(
+        (loss, (upd, lr_real, lr_fake, r1)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.d_vars["params"])
         updates, d_opt = d_tx.update(grads, state.d_opt,
                                      state.d_vars["params"])
         d_params = optax.apply_updates(state.d_vars["params"], updates)
         d_vars = _merge_stats(_with_params(state.d_vars, d_params), upd)
         state = state.replace(d_vars=d_vars, d_opt=d_opt)
-        return state, {"d_loss": loss,
-                       "d_real": jnp.mean(lr_real),
-                       "d_fake": jnp.mean(lr_fake)}
+        metrics = {"d_loss": loss,
+                   "d_real": jnp.mean(lr_real),
+                   "d_fake": jnp.mean(lr_fake)}
+        if r1 is not None:
+            metrics["r1"] = r1
+        return state, metrics
 
     def g_update(state: TrainState, key: jax.Array):
         k_z, k_lab = jax.random.split(key)
@@ -213,11 +243,14 @@ def make_train_chunk(bundle: GANBundle, cfg: TrainConfig, data_fn: DataFn,
 
         def d_real_loss(d_params):
             d_vars = _with_params(state.d_vars, d_params)
-            lr, upd = bundle.discriminate(d_vars, x_real, labels_r,
-                                          train=True)
-            return jnp.mean(jax.nn.softplus(-lr)), (upd, lr)
+            lr, upd, r1 = _real_pass(bundle, d_vars, x_real, labels_r,
+                                     cfg.r1_gamma)
+            loss = jnp.mean(jax.nn.softplus(-lr))
+            if r1 is not None:
+                loss = loss + 0.5 * cfg.r1_gamma * r1
+            return loss, (upd, lr, r1)
 
-        (loss_real, (d_upd_r, lr)), d_grads_real = jax.value_and_grad(
+        (loss_real, (d_upd_r, lr, r1)), d_grads_real = jax.value_and_grad(
             d_real_loss, has_aux=True)(state.d_vars["params"])
 
         # Fake pass runs on the post-real-pass BN stats so the running
@@ -257,9 +290,12 @@ def make_train_chunk(bundle: GANBundle, cfg: TrainConfig, data_fn: DataFn,
             g_vars=_merge_stats(_with_params(state.g_vars, g_params), g_upd),
             d_opt=d_opt, g_opt=g_opt)
         d_loss = loss_real + jnp.mean(jax.nn.softplus(lf))
-        return state, {"d_loss": d_loss,
-                       "g_loss": jnp.mean(jax.nn.softplus(-lf)),
-                       "d_real": jnp.mean(lr), "d_fake": jnp.mean(lf)}
+        metrics = {"d_loss": d_loss,
+                   "g_loss": jnp.mean(jax.nn.softplus(-lf)),
+                   "d_real": jnp.mean(lr), "d_fake": jnp.mean(lf)}
+        if r1 is not None:
+            metrics["r1"] = r1
+        return state, metrics
 
     def train_step(state: TrainState, _):
         if getattr(cfg, "fused_prop", False):
