@@ -199,6 +199,11 @@ class RefineConfig:
     # 0.5 * anchor * ||d_params - d_params_restored||^2 to the shaping loss
     # so the shaped D cannot drift far from the trained one; a principled
     # replacement for hand-shrinking shaping_lr at well-trained checkpoints
+    shaping_r1_gamma: float = 0.0  # R1 penalty (arXiv:1801.04406) on the
+    # real batch inside each shaping update: shaping exists to keep D's
+    # data-space gradient field pointing at the manifold, and R1 penalizes
+    # that field's magnitude/roughness directly — a smoothness counterpart
+    # to shaping_anchor's parameter-space trust region. 0 = off.
     # Sampling volume:
     num_batches: int = 40
     batch_size: int = 256
@@ -319,6 +324,8 @@ class Config:
              f"refine.shape_every must be >= 0, got {r.shape_every}")
         need(r.shaping_steps >= 0,
              f"refine.shaping_steps must be >= 0, got {r.shaping_steps}")
+        need(r.shaping_r1_gamma >= 0.0,
+             f"refine.shaping_r1_gamma must be >= 0, got {r.shaping_r1_gamma}")
         need(e.fid_num_samples > 0 and e.fid_batch_size > 0,
              "eval.fid_num_samples and eval.fid_batch_size must be > 0, "
              f"got {e.fid_num_samples}/{e.fid_batch_size}")

@@ -315,7 +315,8 @@ def _sample_collab(bundle, g_vars, d_vars, cfg, key, data_fn, mesh,
         freeze_embed=getattr(cfg, "shaping_freeze_embed", False),
         anchor=anchor,
         class_weight=(getattr(cfg, "shaping_class_weight", False)
-                      and bundle.conditional))
+                      and bundle.conditional),
+        r1_gamma=getattr(cfg, "shaping_r1_gamma", 0.0))
     # Trust-region anchor: the D params we restored with, captured once.
     anchor_params = d_vars["params"] if anchor > 0 else None
     # shape_step.init shares the step's optax transform, so the Adam state

@@ -26,6 +26,7 @@ from flax import struct
 from collaborative_gan_sampling_tpu.models import GANBundle
 from collaborative_gan_sampling_tpu.training.gan import (
     _merge_stats,
+    _real_pass,
     _with_params,
     nonsaturating_d_loss,
 )
@@ -91,7 +92,8 @@ def _embed_grad_mask(params: Any) -> Any:
 
 def make_shaping_step(bundle: GANBundle, lr: float, decay: float = 1.0,
                       target: float = 0.0, freeze_embed: bool = False,
-                      anchor: float = 0.0, class_weight: bool = False):
+                      anchor: float = 0.0, class_weight: bool = False,
+                      r1_gamma: float = 0.0):
     """Build `shape_step(state, x_real, x_refined, labels_r, labels_f)
     -> (state, d_loss)` — one D update on a (real, refined) pair.
 
@@ -107,7 +109,11 @@ def make_shaping_step(bundle: GANBundle, lr: float, decay: float = 1.0,
     the shaped D toward the D it started from; ``class_weight`` stratifies
     the loss by class (conditional models): each class present in the batch
     contributes equally, so frequent classes cannot drown rare ones in the
-    shaping gradient (exactly a no-op on class-balanced batches)."""
+    shaping gradient (exactly a no-op on class-balanced batches);
+    ``r1_gamma > 0`` adds the R1 penalty 0.5*gamma*E||grad_x D(x_real)||^2
+    (arXiv:1801.04406) to each shaping update — shaping's whole point is
+    D's data-space gradient field, and R1 bounds that field's magnitude on
+    the manifold, complementing ``anchor``'s parameter-space pull."""
     tx = _make_tx(lr, decay)
     num_classes = bundle.num_classes if class_weight else 0
 
@@ -117,8 +123,8 @@ def make_shaping_step(bundle: GANBundle, lr: float, decay: float = 1.0,
 
         def loss_fn(d_params):
             d_vars = _with_params(state.d_vars, d_params)
-            lr_real, upd = bundle.discriminate(d_vars, x_real, labels_r,
-                                               train=True)
+            lr_real, upd, r1 = _real_pass(bundle, d_vars, x_real, labels_r,
+                                          r1_gamma)
             d_vars2 = _merge_stats(d_vars, upd)
             lr_fake, upd2 = bundle.discriminate(d_vars2, x_refined, labels_f,
                                                 train=True)
@@ -140,6 +146,8 @@ def make_shaping_step(bundle: GANBundle, lr: float, decay: float = 1.0,
                     d_params, anchor_params)
                 loss = loss + 0.5 * anchor * sum(
                     jax.tree_util.tree_leaves(sq))
+            if r1 is not None:
+                loss = loss + 0.5 * r1_gamma * r1
             return loss, (upd2, sep)
 
         (loss, (upd, sep)), grads = jax.value_and_grad(

@@ -127,6 +127,64 @@ def test_r1_shrinks_input_gradients():
     assert norms[10.0] < 0.5 * norms[0.0], norms
 
 
+def test_shaping_r1_step_matches_hand_derived_update():
+    """One shaping update with R1 == Adam step on
+    NS(real, refined) + 0.5*gamma*E||grad_x D(x_real)||^2."""
+    from collaborative_gan_sampling_tpu.training.shaping import (
+        make_shaping_step,
+    )
+
+    bundle, tcfg, data_fn = _setup()
+    base = jax.random.PRNGKey(3)
+    state0 = create_train_state(bundle, tcfg, base)
+    x_real, _ = data_fn(jax.random.PRNGKey(4), 64)
+    x_ref = bundle.generate(state0.g_vars,
+                            bundle.sample_z(jax.random.PRNGKey(5), 64),
+                            train=False)
+
+    shape_step = make_shaping_step(bundle, lr=1e-3, r1_gamma=GAMMA)
+    sstate = shape_step.init(state0.d_vars)
+    sstate1, loss = shape_step(sstate, x_real, x_ref)
+
+    def shaping_loss(d_params):
+        d_vars = dict(state0.d_vars, params=d_params)
+        score = lambda a: bundle.discriminate(d_vars, a, train=False)
+        gx = jax.grad(lambda a: jnp.sum(score(a)))(x_real)
+        r1 = jnp.mean(jnp.sum(gx ** 2, axis=1))
+        return (nonsaturating_d_loss(score(x_real), score(x_ref))
+                + 0.5 * GAMMA * r1)
+
+    np.testing.assert_allclose(float(loss),
+                               float(shaping_loss(state0.d_vars["params"])),
+                               rtol=1e-5)
+    grads = jax.grad(shaping_loss)(state0.d_vars["params"])
+    tx = optax.adam(1e-3, b1=0.5)
+    upd, _ = tx.update(grads, tx.init(state0.d_vars["params"]),
+                       state0.d_vars["params"])
+    want = optax.apply_updates(state0.d_vars["params"], upd)
+    for a, b in zip(jax.tree_util.tree_leaves(sstate1.d_vars["params"]),
+                    jax.tree_util.tree_leaves(want)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=1e-6)
+
+
+def test_shaping_r1_composes_in_collab_scan():
+    """collab with refine.shaping_r1_gamma compiles (second-order inside
+    the fused scan) and returns finite samples."""
+    from collaborative_gan_sampling_tpu.config import RefineConfig
+    from collaborative_gan_sampling_tpu.sampling import sample
+
+    bundle, tcfg, data_fn = _setup()
+    base = jax.random.PRNGKey(0)
+    state = create_train_state(bundle, tcfg, base)
+    rcfg = RefineConfig(method="collab", steps=3, rate=0.05, num_batches=3,
+                        batch_size=32, burn_in=32, use_pallas=False,
+                        shape_every=1, shaping_r1_gamma=2.0)
+    res = sample(bundle, state.g_vars, state.d_vars, rcfg,
+                 jax.random.PRNGKey(1), method="collab", data_fn=data_fn)
+    assert bool(jnp.isfinite(res.samples).all())
+
+
 def test_r1_compiles_through_conv_bn_and_embeddings():
     from collaborative_gan_sampling_tpu.data import load_image_dataset
 
