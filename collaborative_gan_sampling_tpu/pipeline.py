@@ -128,7 +128,12 @@ class Experiment:
                                tensorboard_dir=(os.path.join(self.workdir,
                                                              "tb")
                                                 if cfg.train.tensorboard
-                                                else None))
+                                                else None),
+                               # From-scratch runs truncate: a retrain must
+                               # not append a second step sequence after a
+                               # stale one (steps stay monotonic for any
+                               # by-step consumer); resumes keep appending.
+                               append=int(state.step) > 0)
         import time as _time
         tail_chunk = None
         try:

@@ -28,14 +28,18 @@ class MetricsWriter:
     """Append-only JSONL writer: one event per line with step + wall time."""
 
     def __init__(self, path: str | None = None, echo: bool = True,
-                 tensorboard_dir: str | None = None):
+                 tensorboard_dir: str | None = None, append: bool = True):
+        """``append=False`` truncates an existing log — callers starting a
+        run from scratch (step 0) pass it so a retrain cannot leave a stale
+        first run in the file (step-parsing consumers assume monotonic
+        steps)."""
         self._fh: IO[str] | None = None
         self._echo = echo
         self._t0 = time.time()
         self._tb = None
         if path:
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-            self._fh = open(path, "a", buffering=1)
+            self._fh = open(path, "a" if append else "w", buffering=1)
         if tensorboard_dir:
             import tensorflow as tf  # lazy: only TB-mirroring runs need it
 

@@ -87,6 +87,27 @@ def test_experiment_resume_after_interrupt(tmp_path):
     assert int(state.step) == 40
 
 
+def test_retrain_from_scratch_truncates_train_log(tmp_path):
+    """A from-scratch (re)train must not append a second step sequence to
+    train.jsonl — by-step consumers assume monotonic steps. Resumed runs
+    keep appending to the same log."""
+    cfg = _tiny_toy_cfg(tmp_path / "run", niters=40)
+    exp = Experiment(cfg, echo_metrics=False)
+    exp.train()
+    # Retrain from scratch (resume=False ignores the existing checkpoint).
+    exp2 = Experiment(cfg, echo_metrics=False)
+    exp2.train(resume=False)
+    steps = [json.loads(l)["step"]
+             for l in open(cfg.workdir + "/train.jsonl")]
+    assert steps == sorted(set(steps)), steps  # one monotonic run only
+    # A genuine resume appends (log keeps the earlier lines).
+    exp3 = Experiment(cfg, echo_metrics=False)
+    exp3.train(niters=60)  # resumes at 40 from the ckpt, adds 40..60
+    steps2 = [json.loads(l)["step"]
+              for l in open(cfg.workdir + "/train.jsonl")]
+    assert steps2[:len(steps)] == steps and steps2[-1] == 60
+
+
 def test_experiment_benchmark_toy(tmp_path):
     cfg = _tiny_toy_cfg(tmp_path / "run")
     exp = Experiment(cfg, echo_metrics=False)
