@@ -244,3 +244,73 @@ def test_cluster_scheduler_detection(monkeypatch):
     monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host0")
     monkeypatch.setenv("MEGASCALE_COORDINATOR_ADDRESS", "10.0.0.1:8476")
     assert _cluster_scheduler_detected() is True
+
+
+def test_two_process_distributed_execution(tmp_path):
+    """TRUE multi-process execution (SURVEY.md section 5.8): two OS
+    processes, a localhost coordinator, 2 fake CPU devices each -> one
+    4-device global mesh. Runs the real `maybe_initialize_distributed`
+    bootstrap (env-var contract, no monkeypatching), a psum whose operands
+    live in different processes, and a DP train chunk — and asserts the
+    train metrics equal a single-process run of the same math (sharding
+    across processes is an implementation detail, like mesh size)."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    # Expected values from a single-process, no-mesh run of the same step.
+    bundle, spec, data_fn = _toy(64)
+    tcfg = TrainConfig(batch_size=64, steps_per_call=2, d_lr=1e-3, g_lr=1e-3)
+    base = jax.random.PRNGKey(0)
+    state = create_train_state(bundle, tcfg, base)
+    _, m1 = make_train_chunk(bundle, tcfg, data_fn, base, mesh=None)(state)
+    want_d, want_g = float(m1["d_loss"]), float(m1["g_loss"])
+    # psum: process p contributes local devices' values 100p+1 .. 100p+local.
+    want_psum = float(sum(100.0 * p + i + 1.0
+                          for p in range(2) for i in range(2)))
+
+    with socket.socket() as s:  # free port for the coordinator
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    worker = os.path.join(os.path.dirname(__file__), "distributed_worker.py")
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update(
+            JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, worker], env=env, text=True,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+    finally:
+        for p in procs:
+            p.kill()
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}"
+
+    results = []
+    for out in outs:
+        lines = [ln for ln in out.splitlines() if ln.startswith("RESULT ")]
+        assert lines, f"no RESULT line in worker output:\n{out}"
+        results.append(json.loads(lines[0][len("RESULT "):]))
+
+    for r in results:
+        assert r["process_count"] == 2
+        assert r["local_devices"] == 2
+        assert r["global_devices"] == 4
+        assert r["psum"] == want_psum
+        assert abs(r["d_loss"] - want_d) < 1e-4, (r, want_d)
+        assert abs(r["g_loss"] - want_g) < 1e-4, (r, want_g)
