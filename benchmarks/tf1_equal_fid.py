@@ -111,24 +111,57 @@ def main():
     print(f"[arm tf1] {tf1_sps:.1f} samples/s "
           f"({secs_tf1:.1f}s for {nb * bs})", flush=True)
 
-    # -- Arm prod: the shipped TPU path (bf16 + fast paths) ------------------
-    refine_prod = jax.jit(make_refine_fn(bundle, rcfg))
+    # -- Arm prod: the shipped TPU path (bf16 + fast paths), production
+    # execution shape: the whole pool refined in ONE compiled call (the
+    # samplers scan batches on device — per-batch dispatch would measure
+    # the tunneled backend's round-trip latency, not the pipeline).
+    refine_prod = make_refine_fn(bundle, rcfg)
+
+    @jax.jit
+    def refine_pool_prod(d_vars, pool):
+        return jax.lax.map(lambda b: refine_prod(d_vars, b)[0], pool)
 
     def run_pool(pool):
-        return np.stack([np.asarray(refine_prod(d_vars,
-                                                jnp.asarray(b))[0])
-                         for b in pool])
+        return np.asarray(refine_pool_prod(d_vars, jnp.asarray(pool)))
 
     x_prod = run_pool(x0)  # includes compile
     t0 = time.perf_counter()
     x_prod = run_pool(x0)
-    secs_prod = time.perf_counter() - t0
+    secs_e2e = time.perf_counter() - t0
     x_prod_b = run_pool(x0_b)
-    prod_sps = nb * bs / secs_prod
+
+    # Steady-state rate, bench.py protocol: `rounds` refinements of the
+    # pool inside one compiled scan, scalar fetched. Each round refines a
+    # rolled view of the pool (same samples, different batch layout) so
+    # XLA cannot hoist the loop-invariant work out of the scan. On this
+    # host the e2e number above is dominated by the tunneled PJRT relay's
+    # per-dispatch latency + pool fetch, not by the pipeline.
+    rounds = 20
+    pool_dev = jnp.asarray(x0).reshape(-1, *shape[1:])
+
+    @jax.jit
+    def timed_rounds(d_vars, pool):
+        def body(acc, i):
+            p = jnp.roll(pool, i, axis=0).reshape(nb, *shape)
+            out = jax.lax.map(lambda b: refine_prod(d_vars, b)[0], p)
+            return acc + jnp.sum(out), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(rounds))
+        return acc
+
+    float(timed_rounds(d_vars, pool_dev))  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(timed_rounds(d_vars, pool_dev))
+        best = min(best, time.perf_counter() - t0)
+    prod_sps = nb * bs * rounds / best
     results["prod_samples_per_sec"] = prod_sps
+    results["prod_samples_per_sec_e2e_single_dispatch"] = nb * bs / secs_e2e
     results["prod_backend"] = jax.default_backend()
-    print(f"[arm prod] {prod_sps:.1f} samples/s on {jax.default_backend()}",
-          flush=True)
+    print(f"[arm prod] {prod_sps:.1f} samples/s steady-state on "
+          f"{jax.default_backend()} ({nb * bs / secs_e2e:.1f} e2e single "
+          "dispatch incl. tunnel latency + pool fetch)", flush=True)
 
     # -- Arm scan_f32: same math as tf1, fused, f32, CPU --------------------
     if not args.skip_cpu_scan:
