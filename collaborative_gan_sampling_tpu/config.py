@@ -273,6 +273,30 @@ class Config:
     def to_json(self) -> str:
         return json.dumps(self.to_dict(), indent=2, sort_keys=True)
 
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "Config":
+        """Inverse of to_dict — e.g. rebuild the exact experiment Config
+        from a checkpoint dir's ``config.json`` sidecar (utils/checkpoint).
+
+        Tolerant in both directions across schema evolution: leaf fields
+        unknown to THIS schema are dropped (newer sidecar, older code) and
+        fields absent from the dict take their defaults (older sidecar,
+        newer code) — the sidecar hash check remains the strict gate.
+        """
+        leaves = {"model": ModelConfig, "data": DataConfig,
+                  "train": TrainConfig, "refine": RefineConfig,
+                  "eval": EvalConfig, "mesh": MeshConfig}
+        kw: dict[str, Any] = {}
+        top = {f.name for f in dataclasses.fields(cls)}
+        for k, v in d.items():
+            if k in leaves:
+                known = {f.name for f in dataclasses.fields(leaves[k])}
+                kw[k] = leaves[k](**{a: b for a, b in v.items()
+                                     if a in known})
+            elif k in top:
+                kw[k] = v
+        return cls(**kw)
+
     def replace(self, **kw: Any) -> "Config":
         return dataclasses.replace(self, **kw)
 

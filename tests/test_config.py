@@ -3,6 +3,8 @@ import json
 import pytest
 
 from collaborative_gan_sampling_tpu.config import (
+    Config,
+    TrainConfig,
     apply_overrides,
     get_preset,
     list_presets,
@@ -104,3 +106,25 @@ def test_mesh_divisibility_validated():
         train=dataclasses.replace(get_preset("toy2d").train, batch_size=12))
     with pytest.raises(ValueError, match="not divisible"):
         Experiment(cfg, use_mesh=True)
+
+
+def test_from_dict_roundtrip():
+    """Config.from_dict inverts to_dict exactly — the checkpoint sidecar
+    (utils/checkpoint config.json) rebuilds the producing experiment."""
+    for name in list_presets():
+        cfg = get_preset(name)
+        assert Config.from_dict(cfg.to_dict()) == cfg
+
+
+def test_from_dict_schema_tolerance():
+    """Unknown leaf/top-level fields are dropped (newer sidecar, older
+    code); missing fields take defaults (older sidecar, newer code)."""
+    cfg = get_preset("mnist")
+    d = cfg.to_dict()
+    d["refine"]["some_future_knob"] = 7
+    d["future_section"] = {"x": 1}
+    assert Config.from_dict(d) == cfg
+    del d["refine"]["some_future_knob"], d["future_section"]
+    d["train"].pop("r1_gamma")
+    back = Config.from_dict(d)
+    assert back.train.r1_gamma == TrainConfig().r1_gamma
