@@ -152,6 +152,47 @@ def _backend_ready(seconds: float = 180.0) -> bool:
     return False
 
 
+# Per-preset measurement batch (swept in round 2; BASELINE.md bench table):
+# MNIST-28 peaks at 2048, CelebA-64 at 512.
+DEFAULT_BATCH = {"mnist": 2048, "celeba": 512}
+
+
+def _measure_preset(preset: str, batch: int | None, steps_k: int,
+                    with_tf_baseline: bool) -> dict:
+    """Measure one preset and (best-effort) its TF1 CPU baseline ratio."""
+    from collaborative_gan_sampling_tpu.config import get_preset
+
+    if batch is None:
+        batch = DEFAULT_BATCH.get(preset, 512)
+    ours = measure_refine_throughput(batch, steps_k, preset=preset)
+
+    baseline_sps = None
+    is_dcgan = get_preset(preset).model.kind == "dcgan"
+    if with_tf_baseline and is_dcgan:
+        # The TF1 reference loop models the DCGAN execution shape; comparing
+        # an MLP preset against it would be apples-to-oranges.
+        try:
+            from benchmarks.tf1_reference import get_or_measure_baseline
+            kw = {"steps_k": steps_k}
+            if preset != "mnist":
+                m = get_preset(preset).model
+                kw.update(batch_size=64, num_batches=2,
+                          image_size=m.image_size, channels=m.channels)
+            base = get_or_measure_baseline(**kw)
+            baseline_sps = base["samples_per_sec"]
+        except Exception as e:  # TF baseline is best-effort
+            print(f"tf1 baseline unavailable: {e}", file=sys.stderr)
+
+    return {
+        "metric": f"refined_samples_per_sec_per_chip_k{steps_k}_{preset}",
+        "value": round(ours["samples_per_sec"], 1),
+        "unit": "samples/sec",
+        "vs_baseline": (round(ours["samples_per_sec"] / baseline_sps, 1)
+                        if baseline_sps else None),
+        "mfu_pct": ours["mfu_pct"],
+    }
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
     from collaborative_gan_sampling_tpu.utils.compile_cache import (
@@ -161,44 +202,33 @@ def main() -> int:
     enable_compile_cache()
     if not _backend_ready():
         return 1
-    p.add_argument("--batch", type=int, default=2048)
+    p.add_argument("--batch", type=int, default=None,
+                   help="override the per-preset tuned batch "
+                        f"(defaults: {DEFAULT_BATCH})")
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--preset", default="mnist",
                    help="model preset to measure (mnist, celeba, ...); "
                         "the driver metric is the mnist default")
+    p.add_argument("--secondary", default="celeba",
+                   help="flagship preset folded into the same JSON line "
+                        "(default celeba; 'none' to disable). Only runs on "
+                        "the default --preset mnist driver invocation.")
     p.add_argument("--no-tf-baseline", action="store_true")
     args = p.parse_args()
 
-    ours = measure_refine_throughput(args.batch, args.steps,
-                                     preset=args.preset)
-
-    baseline_sps = None
-    from collaborative_gan_sampling_tpu.config import get_preset
-    is_dcgan = get_preset(args.preset).model.kind == "dcgan"
-    if not args.no_tf_baseline and is_dcgan:
-        # The TF1 reference loop models the DCGAN execution shape; comparing
-        # an MLP preset against it would be apples-to-oranges.
+    result = _measure_preset(args.preset, args.batch, args.steps,
+                             not args.no_tf_baseline)
+    # The driver parses ONE JSON line; the CelebA-64 flagship rides along as
+    # a nested object so BENCH_r*.json captures both headline numbers
+    # (VERDICT round 2, next-round item 6).
+    if args.preset == "mnist" and args.secondary not in ("none", ""):
         try:
-            from benchmarks.tf1_reference import get_or_measure_baseline
-            kw = {"steps_k": args.steps}
-            if args.preset != "mnist":
-                m = get_preset(args.preset).model
-                kw.update(batch_size=64, num_batches=2,
-                          image_size=m.image_size, channels=m.channels)
-            base = get_or_measure_baseline(**kw)
-            baseline_sps = base["samples_per_sec"]
-        except Exception as e:  # TF baseline is best-effort
-            print(f"tf1 baseline unavailable: {e}", file=sys.stderr)
+            result[args.secondary] = _measure_preset(
+                args.secondary, None, args.steps, not args.no_tf_baseline)
+        except Exception as e:
+            print(f"secondary preset {args.secondary} failed: {e}",
+                  file=sys.stderr)
 
-    result = {
-        "metric": (f"refined_samples_per_sec_per_chip_k{args.steps}_"
-                   f"{args.preset}"),
-        "value": round(ours["samples_per_sec"], 1),
-        "unit": "samples/sec",
-        "vs_baseline": (round(ours["samples_per_sec"] / baseline_sps, 1)
-                        if baseline_sps else None),
-        "mfu_pct": ours["mfu_pct"],
-    }
     print(json.dumps(result))
     return 0
 
