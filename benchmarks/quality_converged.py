@@ -35,6 +35,13 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    # The axon sitecustomize pins jax_platforms via jax.config, which beats
+    # the env var — honor an explicit CPU request through jax.config too.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 
 def main():
     p = argparse.ArgumentParser()
