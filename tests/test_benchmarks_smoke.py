@@ -31,3 +31,24 @@ def test_quality_converged_smoke(tmp_path):
     assert set(result["tuned"]) == {"plain", "ema"}
     for arm in ("plain", "ema"):
         assert result["tuned"][arm] == {"k": 2, "rate": 0.1}
+
+
+def test_quality_ksweep_smoke(tmp_path):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["MPLBACKEND"] = "Agg"
+    out = tmp_path / "sweep"
+    proc = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "benchmarks", "quality_ksweep.py"),
+         "--preset", "toy2d", "--iters", "60", "--ks", "1", "2",
+         "--rate", "0.1", "--workdir", str(tmp_path / "arm"),
+         "--out", str(out)],
+        cwd=tmp_path, env=env, capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    result = json.loads((out / "ksweep_it60.json").read_text())
+    assert set(result["table"]) == {"refinement:k=1", "refinement:k=2",
+                                    "collab:k=1", "collab:k=2"}
+    for cell in result["table"].values():
+        assert "kl" in cell and "sample_wall_s" in cell
