@@ -86,7 +86,8 @@ def main():
         if not ref_exp.is_2d:  # 2D evals are closed-form, no feature net
             exp_t.adopt_eval_caches(ref_exp)  # feature space only
         (best_k, best_rate), grid = exp_t.select_hparams(
-            state, ks=args.ks, rates=args.rates, method="collab")
+            state, ks=args.ks, rates=args.rates, method="collab",
+            progress=True)
         tuned[name] = {"k": best_k, "rate": best_rate}
         grids[name] = {f"k={k},rate={r}": m for (k, r), m in grid.items()}
         print(f"[converged] {name} arm tuned (K, rate) = "

@@ -796,6 +796,7 @@ class Experiment:
                        spaces: list[str] | None = None,
                        stops: list[float] | None = None,
                        proxs: list[float] | None = None,
+                       progress: bool = False,
                        ) -> tuple[tuple, dict]:
         """Joint (K, rate[, objective][, space]) auto-tuning by validation
         metric (VERDICT r1 item 2): the paper's finding is that refinement
@@ -851,6 +852,11 @@ class Experiment:
                                 cell += (stop,) if with_stop else ()
                                 cell += (prox,) if with_prox else ()
                                 table[cell] = self.evaluate(res)
+                                if progress:
+                                    print(f"[select_hparams] {cell} -> "
+                                          f"{metric}="
+                                          f"{table[cell][metric]:.4f}",
+                                          flush=True)
         best = min(table, key=lambda kr: table[kr][metric])
         return best, table
 
