@@ -59,6 +59,7 @@ def main():
     from collaborative_gan_sampling_tpu.utils.compile_cache import (
         enable_compile_cache,
     )
+    from collaborative_gan_sampling_tpu.utils.retry import with_retries
 
     enable_compile_cache()
     exps = {}
@@ -87,7 +88,8 @@ def main():
             exp_t.adopt_eval_caches(ref_exp)  # feature space only
         (best_k, best_rate), grid = exp_t.select_hparams(
             state, ks=args.ks, rates=args.rates, method="collab",
-            progress=True)
+            progress=True,
+            cache_path=os.path.join(args.out, f"grid_{name}.jsonl"))
         tuned[name] = {"k": best_k, "rate": best_rate}
         grids[name] = {f"k={k},rate={r}": m for (k, r), m in grid.items()}
         print(f"[converged] {name} arm tuned (K, rate) = "
@@ -96,11 +98,17 @@ def main():
         rcfg = dataclasses.replace(cfg.refine, steps=best_k, rate=best_rate)
         metric = "kl" if ref_exp.is_2d else "fid"
         for method in ("standard", "collab"):
-            res = exp.sample(state, method=method, refine_cfg=rcfg)
-            m = ref_exp.evaluate(res)
-            table[f"{name}:{method}"] = {**m, "accept_rate": res.accept_rate}
+
+            def run_final(exp=exp, state=state, method=method, rcfg=rcfg):
+                res = exp.sample(state, method=method, refine_cfg=rcfg)
+                m = ref_exp.evaluate(res)
+                return {**m, "accept_rate": res.accept_rate}
+
+            table[f"{name}:{method}"] = with_retries(
+                run_final, label=f"final {name}:{method}")
             print(json.dumps({"arm": name, "method": method,
-                              metric: round(m[metric], 4)}), flush=True)
+                              metric: round(table[f"{name}:{method}"]
+                                            [metric], 4)}), flush=True)
 
     result = {"preset": args.preset, "niters": args.iters,
               "decay": args.decay, "tuned": tuned, "grids": grids,

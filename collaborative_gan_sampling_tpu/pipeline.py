@@ -14,6 +14,7 @@ reusable `Experiment` object used by the CLI, the benchmark harness
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Any, Callable
 
@@ -45,6 +46,7 @@ from collaborative_gan_sampling_tpu.utils.checkpoint import (
 )
 from collaborative_gan_sampling_tpu.utils.logging import MetricsWriter
 from collaborative_gan_sampling_tpu.utils.prng import step_key
+from collaborative_gan_sampling_tpu.utils.retry import with_retries
 
 
 def shaped_d_path(workdir: str) -> str:
@@ -797,6 +799,7 @@ class Experiment:
                        stops: list[float] | None = None,
                        proxs: list[float] | None = None,
                        progress: bool = False,
+                       cache_path: str | None = None,
                        ) -> tuple[tuple, dict]:
         """Joint (K, rate[, objective][, space]) auto-tuning by validation
         metric (VERDICT r1 item 2): the paper's finding is that refinement
@@ -833,6 +836,14 @@ class Experiment:
             getattr(self.cfg.refine, "stop_score", 0.0)]
         prxs = proxs if with_prox else [
             getattr(self.cfg.refine, "proximal", 0.0)]
+        # Per-cell JSONL cache: long grids on the tunneled backend must
+        # survive relay drops — a restarted grid skips finished cells.
+        cached: dict[tuple, dict] = {}
+        if cache_path and os.path.exists(cache_path):
+            with open(cache_path) as fh:
+                for line in fh:
+                    rec = json.loads(line)
+                    cached[tuple(rec["cell"])] = rec["metrics"]
         table: dict[tuple, dict] = {}
         for prox in prxs:
             for stop in stps:
@@ -840,18 +851,36 @@ class Experiment:
                     for obj in objs:
                         for rate in rates:
                             for k in ks:
-                                rcfg = dataclasses.replace(
-                                    self.cfg.refine, steps=k, rate=rate,
-                                    objective=obj, space=space,
-                                    stop_score=stop, proximal=prox)
-                                res = self.sample(state, method=method,
-                                                  refine_cfg=rcfg)
                                 cell = (k, rate)
                                 cell += (obj,) if with_obj else ()
                                 cell += (space,) if with_space else ()
                                 cell += (stop,) if with_stop else ()
                                 cell += (prox,) if with_prox else ()
-                                table[cell] = self.evaluate(res)
+                                if cell in cached:
+                                    table[cell] = cached[cell]
+                                    if progress:
+                                        print(f"[select_hparams] {cell} "
+                                              f"(cached) -> {metric}="
+                                              f"{table[cell][metric]:.4f}",
+                                              flush=True)
+                                    continue
+                                rcfg = dataclasses.replace(
+                                    self.cfg.refine, steps=k, rate=rate,
+                                    objective=obj, space=space,
+                                    stop_score=stop, proximal=prox)
+
+                                def run_cell(rcfg=rcfg):
+                                    res = self.sample(state, method=method,
+                                                      refine_cfg=rcfg)
+                                    return self.evaluate(res)
+
+                                table[cell] = with_retries(
+                                    run_cell, label=f"grid {cell}")
+                                if cache_path:
+                                    with open(cache_path, "a") as fh:
+                                        fh.write(json.dumps(
+                                            {"cell": list(cell),
+                                             "metrics": table[cell]}) + "\n")
                                 if progress:
                                     print(f"[select_hparams] {cell} -> "
                                           f"{metric}="
