@@ -153,8 +153,9 @@ def _backend_ready(seconds: float = 180.0) -> bool:
 
 
 # Per-preset measurement batch (swept in round 2; BASELINE.md bench table):
-# MNIST-28 peaks at 2048, CelebA-64 at 512.
-DEFAULT_BATCH = {"mnist": 2048, "celeba": 512}
+# MNIST-28 peaks at 2048, CelebA-64 at 512 (imagenet64 shares the 64x64x3
+# pipeline shape, so it inherits CelebA's swept batch).
+DEFAULT_BATCH = {"mnist": 2048, "celeba": 512, "imagenet64": 512}
 
 
 def _measure_preset(preset: str, batch: int | None, steps_k: int,
@@ -209,25 +210,33 @@ def main() -> int:
     p.add_argument("--preset", default="mnist",
                    help="model preset to measure (mnist, celeba, ...); "
                         "the driver metric is the mnist default")
-    p.add_argument("--secondary", default="celeba",
-                   help="flagship preset folded into the same JSON line "
-                        "(default celeba; 'none' to disable). Only runs on "
-                        "the default --preset mnist driver invocation.")
+    p.add_argument("--secondary", default="celeba,imagenet64",
+                   help="comma-separated flagship presets folded into the "
+                        "same JSON line (default 'celeba,imagenet64'; 'none' "
+                        "to disable). Only runs on the default --preset "
+                        "mnist driver invocation.")
     p.add_argument("--no-tf-baseline", action="store_true")
     args = p.parse_args()
 
     result = _measure_preset(args.preset, args.batch, args.steps,
                              not args.no_tf_baseline)
-    # The driver parses ONE JSON line; the CelebA-64 flagship rides along as
-    # a nested object so BENCH_r*.json captures both headline numbers
-    # (VERDICT round 2, next-round item 6).
+    # The driver parses ONE JSON line; the flagship presets (CelebA-64 and
+    # the class-conditional ImageNet-64) ride along as nested objects so
+    # BENCH_r*.json captures every headline number each round (VERDICT
+    # round 2 item 6; imagenet64's vs_baseline uses the shape-matched
+    # 64x64x3 TF1 loop — the reference has no conditional models, and the
+    # projection-D embedding adds negligible FLOPs).
     if args.preset == "mnist" and args.secondary not in ("none", ""):
-        try:
-            result[args.secondary] = _measure_preset(
-                args.secondary, None, args.steps, not args.no_tf_baseline)
-        except Exception as e:
-            print(f"secondary preset {args.secondary} failed: {e}",
-                  file=sys.stderr)
+        for sec in args.secondary.split(","):
+            sec = sec.strip()
+            if not sec:
+                continue
+            try:
+                result[sec] = _measure_preset(
+                    sec, None, args.steps, not args.no_tf_baseline)
+            except Exception as e:
+                print(f"secondary preset {sec} failed: {e}",
+                      file=sys.stderr)
 
     print(json.dumps(result))
     return 0

@@ -74,6 +74,33 @@ def test_cli_teaser_and_sweep(tmp_path, capsys):
     assert set(map(int, out["sweep"])) == {1, 2}
 
 
+def test_bench_conditional_preset_path(monkeypatch):
+    """bench.py folds the class-conditional flagship into the driver line;
+    the measurement fn must run the conditional z->G->refine unit (labels
+    sampled inside draw_refine). Tiny stand-in config, same code path."""
+    import dataclasses
+
+    import bench
+    from collaborative_gan_sampling_tpu import config as cfg_mod
+
+    real = cfg_mod.get_preset
+
+    def tiny_conditional(name):
+        cfg = real("imagenet64" if name == "tiny_cond" else name)
+        if name == "tiny_cond":
+            cfg = cfg.replace(model=dataclasses.replace(
+                cfg.model, image_size=8, g_base_filters=8, d_base_filters=8,
+                num_classes=5, compute_dtype="float32"))
+        return cfg
+
+    monkeypatch.setattr(cfg_mod, "get_preset", tiny_conditional)
+    out = bench.measure_refine_throughput(batch_size=8, steps_k=2,
+                                          rounds=1, repeats=1,
+                                          preset="tiny_cond")
+    assert out["samples_per_sec"] > 0
+    assert out["mfu_pct"] is not None  # dcgan kind keeps the analytic MFU
+
+
 def test_bench_mfu_only_for_dcgan():
     import bench
 
