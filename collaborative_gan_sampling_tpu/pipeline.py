@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from typing import Any, Callable
 
 import jax
@@ -874,8 +875,10 @@ class Experiment:
                                                       refine_cfg=rcfg)
                                     return self.evaluate(res)
 
+                                t0 = time.perf_counter()
                                 table[cell] = with_retries(
                                     run_cell, label=f"grid {cell}")
+                                cell_s = time.perf_counter() - t0
                                 if cache_path:
                                     with open(cache_path, "a") as fh:
                                         fh.write(json.dumps(
@@ -884,7 +887,8 @@ class Experiment:
                                 if progress:
                                     print(f"[select_hparams] {cell} -> "
                                           f"{metric}="
-                                          f"{table[cell][metric]:.4f}",
+                                          f"{table[cell][metric]:.4f} "
+                                          f"({cell_s:.0f}s)",
                                           flush=True)
         best = min(table, key=lambda kr: table[kr][metric])
         return best, table
