@@ -56,6 +56,63 @@ def shaped_d_path(workdir: str) -> str:
     return os.path.join(workdir, "shaped_d.msgpack")
 
 
+def _append_cache_line(cache_path: str, cell: tuple, metrics: dict) -> None:
+    """Append one grid-cell record under an exclusive lock: concurrent
+    writers sharing a cache_path (two arms of a campaign) must not
+    interleave or tear JSONL lines."""
+    import fcntl
+
+    with open(cache_path, "a") as fh:
+        fcntl.flock(fh, fcntl.LOCK_EX)
+        try:
+            fh.write(json.dumps({"cell": list(cell),
+                                 "metrics": metrics}) + "\n")
+            fh.flush()
+        finally:
+            fcntl.flock(fh, fcntl.LOCK_UN)
+
+
+def _grid_edges(best: tuple, ks: list, rates: list) -> list[str]:
+    """Which swept (K, rate) axes the best cell sits on the boundary of.
+
+    Returns a subset of ["k:low", "k:high", "rate:low", "rate:high"];
+    axes with a single value are never boundaries (nothing was swept).
+    K's hard floor of 1 is not a boundary either — there is nothing
+    below it to miss."""
+    edges = []
+    k, rate = best[0], best[1]
+    if len(set(ks)) > 1:
+        if k == min(ks) and k > 1:
+            edges.append("k:low")
+        elif k == max(ks):
+            edges.append("k:high")
+    if len(set(rates)) > 1:
+        if rate == min(rates):
+            edges.append("rate:low")
+        elif rate == max(rates):
+            edges.append("rate:high")
+    return edges
+
+
+def _extend_axis(vals: list, side: str, integer: bool) -> int | float | None:
+    """One geometric step past the low/high edge of a sorted-able grid
+    axis (log-space extrapolation of the edge ratio). Returns None when
+    the axis cannot extend further (K's floor of 1, or a degenerate
+    ratio)."""
+    s = sorted(set(vals))
+    if len(s) < 2:
+        return None
+    if side == "low":
+        new = s[0] * (s[0] / s[1])
+    else:
+        new = s[-1] * (s[-1] / s[-2])
+    if integer:
+        new = max(1, int(round(new)))
+        return new if new not in s else None
+    new = float(f"{new:.6g}")
+    return new if new not in s and new > 0 else None
+
+
 class Experiment:
     def __init__(self, cfg: Config, use_mesh: bool = False,
                  echo_metrics: bool = True):
@@ -801,6 +858,7 @@ class Experiment:
                        proxs: list[float] | None = None,
                        progress: bool = False,
                        cache_path: str | None = None,
+                       extend_grid: int = 0,
                        ) -> tuple[tuple, dict]:
         """Joint (K, rate[, objective][, space]) auto-tuning by validation
         metric (VERDICT r1 item 2): the paper's finding is that refinement
@@ -820,11 +878,20 @@ class Experiment:
         (stop_score); `proxs` tunes the DOT-style proximity cost
         (refine.proximal) — both cap the over-shoot that otherwise forces
         the (K, rate) grid to extreme corners at well-trained
-        checkpoints."""
+        checkpoints.
+
+        A best cell on the edge of the swept (K, rate) grid means the true
+        optimum is plausibly outside it (the round-3 converged study tuned
+        both arms to the grid's lowest corner and nobody noticed): a
+        boundary optimum always prints a warning, and with
+        ``extend_grid`` > 0 the grid auto-extends geometrically past the
+        offending edge up to that many times until the optimum is
+        interior."""
         import dataclasses
 
-        ks = ks or [1, 5, 10, 20]
-        rates = rates if rates is not None else self._default_rate_grid()
+        ks = list(ks or [1, 5, 10, 20])
+        rates = list(rates if rates is not None
+                     else self._default_rate_grid())
         metric = metric or ("kl" if self.is_2d else "fid")
         with_obj = objectives is not None
         with_space = spaces is not None
@@ -839,58 +906,95 @@ class Experiment:
             getattr(self.cfg.refine, "proximal", 0.0)]
         # Per-cell JSONL cache: long grids on the tunneled backend must
         # survive relay drops — a restarted grid skips finished cells.
+        # Malformed lines (a torn concurrent append) are skipped, not fatal;
+        # later duplicates win.
         cached: dict[tuple, dict] = {}
         if cache_path and os.path.exists(cache_path):
             with open(cache_path) as fh:
                 for line in fh:
-                    rec = json.loads(line)
-                    cached[tuple(rec["cell"])] = rec["metrics"]
+                    try:
+                        rec = json.loads(line)
+                        cached[tuple(rec["cell"])] = rec["metrics"]
+                    except (json.JSONDecodeError, KeyError, TypeError):
+                        continue
         table: dict[tuple, dict] = {}
-        for prox in prxs:
-            for stop in stps:
-                for space in spcs:
-                    for obj in objs:
-                        for rate in rates:
-                            for k in ks:
-                                cell = (k, rate)
-                                cell += (obj,) if with_obj else ()
-                                cell += (space,) if with_space else ()
-                                cell += (stop,) if with_stop else ()
-                                cell += (prox,) if with_prox else ()
-                                if cell in cached:
-                                    table[cell] = cached[cell]
+
+        def run_cells(ks_now: list, rates_now: list) -> None:
+            for prox in prxs:
+                for stop in stps:
+                    for space in spcs:
+                        for obj in objs:
+                            for rate in rates_now:
+                                for k in ks_now:
+                                    cell = (k, rate)
+                                    cell += (obj,) if with_obj else ()
+                                    cell += (space,) if with_space else ()
+                                    cell += (stop,) if with_stop else ()
+                                    cell += (prox,) if with_prox else ()
+                                    if cell in table:
+                                        continue
+                                    if cell in cached:
+                                        table[cell] = cached[cell]
+                                        if progress:
+                                            print(
+                                                f"[select_hparams] {cell} "
+                                                f"(cached) -> {metric}="
+                                                f"{table[cell][metric]:.4f}",
+                                                flush=True)
+                                        continue
+                                    rcfg = dataclasses.replace(
+                                        self.cfg.refine, steps=k, rate=rate,
+                                        objective=obj, space=space,
+                                        stop_score=stop, proximal=prox)
+
+                                    def run_cell(rcfg=rcfg):
+                                        res = self.sample(state,
+                                                          method=method,
+                                                          refine_cfg=rcfg)
+                                        return self.evaluate(res)
+
+                                    t0 = time.perf_counter()
+                                    table[cell] = with_retries(
+                                        run_cell, label=f"grid {cell}")
+                                    cell_s = time.perf_counter() - t0
+                                    if cache_path:
+                                        _append_cache_line(
+                                            cache_path, cell, table[cell])
                                     if progress:
-                                        print(f"[select_hparams] {cell} "
-                                              f"(cached) -> {metric}="
-                                              f"{table[cell][metric]:.4f}",
+                                        print(f"[select_hparams] {cell} -> "
+                                              f"{metric}="
+                                              f"{table[cell][metric]:.4f} "
+                                              f"({cell_s:.0f}s)",
                                               flush=True)
-                                    continue
-                                rcfg = dataclasses.replace(
-                                    self.cfg.refine, steps=k, rate=rate,
-                                    objective=obj, space=space,
-                                    stop_score=stop, proximal=prox)
 
-                                def run_cell(rcfg=rcfg):
-                                    res = self.sample(state, method=method,
-                                                      refine_cfg=rcfg)
-                                    return self.evaluate(res)
-
-                                t0 = time.perf_counter()
-                                table[cell] = with_retries(
-                                    run_cell, label=f"grid {cell}")
-                                cell_s = time.perf_counter() - t0
-                                if cache_path:
-                                    with open(cache_path, "a") as fh:
-                                        fh.write(json.dumps(
-                                            {"cell": list(cell),
-                                             "metrics": table[cell]}) + "\n")
-                                if progress:
-                                    print(f"[select_hparams] {cell} -> "
-                                          f"{metric}="
-                                          f"{table[cell][metric]:.4f} "
-                                          f"({cell_s:.0f}s)",
-                                          flush=True)
-        best = min(table, key=lambda kr: table[kr][metric])
+        extensions = 0
+        while True:
+            run_cells(ks, rates)
+            best = min(table, key=lambda kr: table[kr][metric])
+            edges = _grid_edges(best, ks, rates)
+            if not edges:
+                break
+            if extensions >= extend_grid:
+                print(f"[select_hparams] WARNING: best cell {best} lies on "
+                      f"the {'/'.join(edges)} edge of the swept grid — the "
+                      "true optimum is plausibly outside it (pass "
+                      "extend_grid>0 to auto-extend)", flush=True)
+                break
+            grew = False
+            for edge in edges:
+                axis, side = edge.split(":")
+                vals = ks if axis == "k" else rates
+                new = _extend_axis(vals, side, integer=(axis == "k"))
+                if new is not None:
+                    vals.append(new)
+                    vals.sort()
+                    grew = True
+                    if progress:
+                        print(f"[select_hparams] extending {axis} grid "
+                              f"{side} -> {new}", flush=True)
+            if not grew:  # e.g. K already at its floor of 1
+                break
+            extensions += 1
         return best, table
 
     def _default_rate_grid(self) -> list[float]:
