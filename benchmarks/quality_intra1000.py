@@ -178,10 +178,15 @@ def main():
             "samples_per_sec": stats.get("samples_per_sec"),
             "per_class_min": int(counts.min()),
             "per_class_mean": float(counts.mean()),
+            # Full per-class map persisted so the cross-arm intersection
+            # re-scoring (and any future re-quote) needs no rerun.
+            "per_class": {str(c): round(float(v), 6)
+                          for c, v in res["per_class"].items()},
         }
         print(json.dumps({"arm": name, **{
             k: (round(v, 4) if isinstance(v, float) else v)
-            for k, v in table[name].items()}}), flush=True)
+            for k, v in table[name].items() if k != "per_class"}}),
+            flush=True)
 
     rcfg_t = dataclasses.replace(cfg.refine, steps=args.k, rate=args.rate)
 
@@ -199,12 +204,26 @@ def main():
     res_s = exp.sample(state, method="collab", refine_cfg=rcfg_s)
     measure("collab:safe", "collab", res_s.aux["shaped_d_vars"], rcfg_s, 2)
 
+    # Intersection re-scoring (VERDICT r3 weak 5): arms with rejection can
+    # starve classes below min_count, so the per-arm means above average
+    # over DIFFERENT class sets; the airtight comparison re-means every arm
+    # over the common measured classes.
+    from collaborative_gan_sampling_tpu.evals.fid import (
+        intersection_intra_fid,
+    )
+
+    inter = intersection_intra_fid(
+        {name: t["per_class"] for name, t in table.items()})
+    print(json.dumps({"intersection": inter["intra_fid"],
+                      "classes": inter["classes"]}), flush=True)
+
     result = {"preset": args.preset, "workdir": args.workdir,
               "step": int(state.step), "k": args.k, "rate": args.rate,
               "per_class_target": args.per_class,
               "min_count": args.min_count,
               "feature_net": exp._feature_label,
               "real_pool": int(fr.shape[0]),
+              "intersection": inter,
               "table": table}
     os.makedirs(args.out, exist_ok=True)
     path = os.path.join(args.out, "intra1000_it2000.json")

@@ -32,7 +32,8 @@ BASELINE_CACHE = os.path.join(os.path.dirname(__file__),
 def measure_tf1_refine_throughput(image_size: int = 28, channels: int = 1,
                                   batch_size: int = 64, steps_k: int = 10,
                                   rate: float = 0.02, num_batches: int = 4,
-                                  warmup_batches: int = 1) -> dict:
+                                  warmup_batches: int = 1,
+                                  base_filters: int = 64) -> dict:
     """Refined samples/sec of the TF1-style CPU loop. Slow by design."""
     os.environ.setdefault("CUDA_VISIBLE_DEVICES", "-1")
     import numpy as np
@@ -68,7 +69,7 @@ def measure_tf1_refine_throughput(image_size: int = 28, channels: int = 1,
                               trainable=False)
         return tf.nn.batch_normalization(x, mean, var, beta, gamma, 1e-5)
 
-    def discriminator(x, df_dim=64):
+    def discriminator(x, df_dim=base_filters):
         # C7 discriminator: conv stack, bn after all but first, linear logit.
         h = lrelu(conv2d(x, df_dim, "conv0"))
         n_stages = {28: 2, 32: 3, 64: 4}[image_size]

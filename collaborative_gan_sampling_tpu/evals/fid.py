@@ -205,7 +205,8 @@ def fid_between(feature_fn: Callable, real_fn: Callable, fake_fn: Callable,
 
 
 def per_class_fid(feats_real, labels_real, feats_fake, labels_fake,
-                  min_count: int = 32, max_classes: int = 0) -> dict:
+                  min_count: int = 32, max_classes: int = 0,
+                  classes=None) -> dict:
     """Intra-FID for class-conditional models: FID per class, averaged.
 
     The standard conditional-GAN metric (Miyato & Koyama's projection-D
@@ -218,8 +219,9 @@ def per_class_fid(feats_real, labels_real, feats_fake, labels_fake,
     Classes with fewer than ``min_count`` samples on either side are
     skipped (singular covariance). With ``max_classes`` > 0, only that many
     most-frequent classes (in the fake pool) are evaluated — the 1000-class
-    cost control. Returns {"intra_fid", "intra_fid_classes",
-    "per_class": {label: fid}}.
+    cost control. With ``classes``, only that explicit class set is scored
+    (the cross-arm intersection protocol — see intersection_intra_fid).
+    Returns {"intra_fid", "intra_fid_classes", "per_class": {label: fid}}.
     """
     import numpy as np
 
@@ -227,11 +229,14 @@ def per_class_fid(feats_real, labels_real, feats_fake, labels_fake,
     ff = np.asarray(feats_fake, np.float64)
     lr = np.asarray(labels_real).ravel()
     lf = np.asarray(labels_fake).ravel()
-    classes, counts = np.unique(lf, return_counts=True)
-    order = np.argsort(-counts)
-    classes = classes[order]
-    if max_classes > 0:
-        classes = classes[:max_classes]
+    if classes is not None:
+        classes = np.asarray(sorted(classes))
+    else:
+        classes, counts = np.unique(lf, return_counts=True)
+        order = np.argsort(-counts)
+        classes = classes[order]
+        if max_classes > 0:
+            classes = classes[:max_classes]
 
     per = {}
     for c in classes:
@@ -252,3 +257,29 @@ def per_class_fid(feats_real, labels_real, feats_fake, labels_fake,
     return {"intra_fid": float(np.mean(list(per.values()))),
             "intra_fid_classes": len(per),
             "per_class": per}
+
+
+def intersection_intra_fid(per_class_tables: dict) -> dict:
+    """Re-score several arms' intra-FID over the INTERSECTION of their
+    measured classes.
+
+    Arms with rejection (DRS) can starve some classes below min_count,
+    dropping them from that arm's mean while they stay in another arm's —
+    the means are then averages over different class sets and not directly
+    comparable (VERDICT r3 weak item 5: standard measured 1000 classes,
+    collab 981, --safe 996). Input: {arm: {class: fid}} (the "per_class"
+    maps from per_class_fid; JSON round-trips with string keys are
+    accepted). Returns {"classes": N, "intra_fid": {arm: mean-over-common}}.
+    """
+    norm = {arm: {int(c): float(v) for c, v in table.items()}
+            for arm, table in per_class_tables.items()}
+    common = set.intersection(*(set(t) for t in norm.values())) if norm \
+        else set()
+    if not common:
+        return {"classes": 0,
+                "intra_fid": {arm: float("inf") for arm in norm}}
+    import numpy as np
+
+    return {"classes": len(common),
+            "intra_fid": {arm: float(np.mean([t[c] for c in sorted(common)]))
+                          for arm, t in norm.items()}}

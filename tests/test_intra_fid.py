@@ -106,3 +106,34 @@ def test_experiment_reports_intra_fid(tmp_path):
     assert "intra_fid" in m and "intra_fid_classes" in m
     assert m["intra_fid_classes"] >= 1
     assert np.isfinite(m["intra_fid"])
+
+
+def test_explicit_classes_restricts_scoring():
+    rng = np.random.default_rng(7)
+    fr, lr, ff, lf = _two_class_pools(rng)
+    res = per_class_fid(fr, lr, ff, lf, min_count=16, classes=[1])
+    assert set(res["per_class"]) == {1}
+    both = per_class_fid(fr, lr, ff, lf, min_count=16)
+    assert abs(res["per_class"][1] - both["per_class"][1]) < 1e-9
+
+
+def test_intersection_intra_fid_common_classes():
+    from collaborative_gan_sampling_tpu.evals.fid import (
+        intersection_intra_fid,
+    )
+
+    tables = {
+        "standard": {0: 1.0, 1: 2.0, 2: 9.0},
+        # collab starved class 2 below min_count — and JSON round-trips
+        # give string keys, which must be accepted.
+        "collab": {"0": 2.0, "1": 4.0},
+    }
+    out = intersection_intra_fid(tables)
+    assert out["classes"] == 2
+    # standard's mean drops once the class it alone measured is excluded.
+    assert abs(out["intra_fid"]["standard"] - 1.5) < 1e-9
+    assert abs(out["intra_fid"]["collab"] - 3.0) < 1e-9
+
+    empty = intersection_intra_fid({"a": {0: 1.0}, "b": {1: 1.0}})
+    assert empty["classes"] == 0
+    assert empty["intra_fid"]["a"] == float("inf")
