@@ -26,8 +26,13 @@ def test_quality_converged_smoke(tmp_path):
         cwd=tmp_path, env=env, capture_output=True, text=True, timeout=420)
     assert proc.returncode == 0, proc.stderr[-2000:]
     result = json.loads((out / "converged_it60.json").read_text())
-    assert set(result["table"]) == {"plain:standard", "plain:collab",
-                                    "ema:standard", "ema:collab"}
+    methods = {"standard", "reject", "refinement", "mhgan",
+               "refine_reject", "collab", "collab:anchor", "collab:safe",
+               "collab:gentle"}
+    assert set(result["table"]) == {f"{arm}:{m}" for arm in ("plain", "ema")
+                                    for m in methods}
+    for row in result["table"].values():
+        assert "kl" in row and "kl_full_pool" in row
     assert set(result["tuned"]) == {"plain", "ema"}
     for arm in ("plain", "ema"):
         assert result["tuned"][arm] == {"k": 2, "rate": 0.1}
@@ -52,3 +57,35 @@ def test_quality_ksweep_smoke(tmp_path):
                                     "collab:k=1", "collab:k=2"}
     for cell in result["table"].values():
         assert "kl" in cell and "sample_wall_s" in cell
+
+
+def test_quality_crossover_smoke(tmp_path):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["MPLBACKEND"] = "Agg"
+    out = tmp_path / "cross"
+    proc = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "benchmarks", "quality_crossover.py"),
+         "--preset", "toy2d", "--depths", "20", "40", "--ks", "2",
+         "--rates", "0.1", "--out", str(out)],
+        cwd=tmp_path, env=env, capture_output=True, text=True, timeout=420)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    result = json.loads((out / "crossover.json").read_text())
+    assert result["depths"] == [20, 40]
+    for d in ("20", "40"):
+        row = result["curve"][d]
+        assert row["tuned"] == {"k": 2, "rate": 0.1}
+        for arm in ("standard", "collab", "collab_safe"):
+            assert "kl" in row[arm]
+    assert (out / "crossover.png").exists()
+    # Snapshots restored, not retrained, on a second invocation.
+    proc2 = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "benchmarks", "quality_crossover.py"),
+         "--preset", "toy2d", "--depths", "20", "40", "--ks", "2",
+         "--rates", "0.1", "--out", str(out)],
+        cwd=tmp_path, env=env, capture_output=True, text=True, timeout=420)
+    assert proc2.returncode == 0, proc2.stderr[-2000:]
+    assert proc2.stdout.count("snapshot restored") == 2
