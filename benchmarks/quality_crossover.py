@@ -98,7 +98,10 @@ def main():
             pass
         state = exp.train(niters=d, state=state, resume=state is None)
         save_checkpoint(snap_dir, d, state, config=cfg_d)
-        states[d] = state
+        # Re-load the snapshot rather than aliasing `state`: the jitted
+        # train chunk donates its input buffers, so continuing training
+        # would delete any live reference to them.
+        states[d] = exp_d.load_state()
         print(f"[crossover] it{d}: trained + snapshotted", flush=True)
 
     # -- Shared eval caches (one feature net; real stats per protocol) -----
