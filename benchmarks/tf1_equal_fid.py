@@ -74,14 +74,26 @@ def main():
     )
 
     enable_compile_cache()
-    cfg = get_preset(args.preset).replace(workdir=args.workdir)
+    sidecar = os.path.join(args.workdir, "ckpts", "config.json")
+    if os.path.exists(sidecar):
+        # The exact experiment config that produced this checkpoint — the
+        # deterministic-retrain path when the (gitignored) weight files
+        # are absent on a fresh clone (same convention as
+        # quality_intra1000.py).
+        from collaborative_gan_sampling_tpu.config import Config
+
+        with open(sidecar) as fh:
+            cfg = Config.from_dict(json.load(fh)["config"])
+        cfg = cfg.replace(workdir=args.workdir)
+    else:
+        cfg = get_preset(args.preset).replace(workdir=args.workdir)
     rcfg = cfg.refine
     if args.k is not None:
         rcfg = dataclasses.replace(rcfg, steps=args.k)
     if args.rate is not None:
         rcfg = dataclasses.replace(rcfg, rate=args.rate)
     exp = Experiment(cfg, echo_metrics=False)
-    state = exp.load_state()
+    state = exp.load_or_train()
     print(f"[equal_fid] {args.preset} checkpoint at step {int(state.step)}, "
           f"K={rcfg.steps} rate={rcfg.rate}", flush=True)
 

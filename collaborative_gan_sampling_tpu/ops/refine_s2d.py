@@ -199,21 +199,26 @@ def supports_s2d_refine(bundle, cfg, return_trajectory: bool,
 
 
 def _make_s2d_scan(d_fwd, cfg):
-    """`scan(d_vars, x_s2d, labels) -> (x_s2d_K, logits)` — the K-step
-    refinement loop entirely in s2d coordinates."""
+    """`scan(d_vars, x_s2d, labels, rate=None) -> (x_s2d_K, logits)` — the
+    K-step refinement loop entirely in s2d coordinates. ``rate`` may be a
+    traced scalar (the tuner's compile-once-per-K path); None bakes
+    cfg.rate as a constant."""
     from collaborative_gan_sampling_tpu.sampling.refine import (
         _clip_per_sample,
         _freeze_stopped,
         refine_loss_per_sample,
     )
 
-    steps, rate, clip_norm = cfg.steps, cfg.rate, cfg.clip_norm
+    steps, clip_norm = cfg.steps, cfg.clip_norm
     objective = getattr(cfg, "objective", "ns")
     stop_score = getattr(cfg, "stop_score", 0.0)
     proximal = getattr(cfg, "proximal", 0.0)
 
     def scan(d_vars: Any, x_s2d: jax.Array,
-             labels: jax.Array | None = None):
+             labels: jax.Array | None = None, rate=None):
+        # Sample-dtype cast: a traced f32 scalar must not promote bf16
+        # math (the scan carry dtype would change mid-loop).
+        rate = jnp.asarray(cfg.rate if rate is None else rate, x_s2d.dtype)
         x0_s2d = x_s2d  # proximal anchor; s2d is a permutation, so the
         # L2 transport cost is EXACTLY the pixel-space one.
         def loss_sum(x):
@@ -252,8 +257,8 @@ def make_refine_s2d(bundle, cfg):
     scan = _make_s2d_scan(make_d_fwd_s2d(bundle.d), cfg)
 
     def refine(d_vars: Any, x0: jax.Array,
-               labels: jax.Array | None = None):
-        x_k, logits = scan(d_vars, space_to_depth(x0), labels)
+               labels: jax.Array | None = None, rate=None):
+        x_k, logits = scan(d_vars, space_to_depth(x0), labels, rate=rate)
         return depth_to_space(x_k, x0.shape[-1]), {"logits": logits}
 
     return refine
@@ -272,13 +277,13 @@ def make_draw_refine_s2d(bundle, cfg, mesh=None):
     channels = bundle.data_shape[-1]
 
     def draw_refine(g_vars: Any, d_vars: Any, key: jax.Array, n: int,
-                    labels: jax.Array | None = None):
+                    labels: jax.Array | None = None, rate=None):
         k_z, k_lab = jax.random.split(key)
         z = constrain_batch(mesh, bundle.sample_z(k_z, n))
         if bundle.conditional and labels is None:
             labels = bundle.sample_labels(k_lab, n)
         x0 = g_fwd(g_vars, z, labels)
-        x_k, logits = scan(d_vars, x0, labels)
+        x_k, logits = scan(d_vars, x0, labels, rate=rate)
         return depth_to_space(x_k, channels), labels, logits
 
     return draw_refine

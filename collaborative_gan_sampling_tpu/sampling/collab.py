@@ -153,16 +153,18 @@ def _sample_standard(bundle, g_vars, d_vars, cfg, key, data_fn, mesh):
 def _sample_refinement(bundle, g_vars, d_vars, cfg, key, data_fn, mesh):
     draw_refine = make_draw_refine_fn(bundle, cfg, mesh)
 
+    # rate rides as a traced scalar: one compiled program per K serves
+    # every rate the tuner sweeps (grid cells differ only in inputs).
     @jax.jit
-    def run(g_vars, d_vars, key):
+    def run(g_vars, d_vars, key, rate):
         def body(k, i):
             x, labels, logits = draw_refine(g_vars, d_vars, k,
-                                            cfg.batch_size)
+                                            cfg.batch_size, rate=rate)
             return (x, logits,
                     labels if labels is not None else jnp.zeros((), jnp.int32))
         return _scan_batches(body, key, cfg.num_batches)
 
-    xs, logits, labels = run(g_vars, d_vars, key)
+    xs, logits, labels = run(g_vars, d_vars, key, jnp.float32(cfg.rate))
     samples, logits = _flatten(xs), logits.reshape(-1)
     labels = _flatten(labels) if bundle.conditional else None
     return SampleResult(samples, jnp.ones(samples.shape[0], bool), logits,
@@ -181,12 +183,12 @@ def _sample_reject(bundle, g_vars, d_vars, cfg, key, data_fn, mesh,
     per_class = _per_class_drs(bundle, cfg)
 
     @jax.jit
-    def run(g_vars, d_vars, key):
+    def run(g_vars, d_vars, key, rate):
         k_burn, k_main = jax.random.split(key)
 
         def burn_sample(k, n):
             if draw_refine is not None:
-                x, labels, _ = draw_refine(g_vars, d_vars, k, n)
+                x, labels, _ = draw_refine(g_vars, d_vars, k, n, rate=rate)
             else:
                 x, labels = _draw(bundle, g_vars, k, n, mesh)
             return x, labels
@@ -203,7 +205,7 @@ def _sample_reject(bundle, g_vars, d_vars, cfg, key, data_fn, mesh,
             k_draw, k_acc = jax.random.split(k)
             if draw_refine is not None:
                 x, labels, logits = draw_refine(g_vars, d_vars, k_draw,
-                                                cfg.batch_size)
+                                                cfg.batch_size, rate=rate)
             else:
                 x, labels = _draw(bundle, g_vars, k_draw, cfg.batch_size,
                                   mesh)
@@ -221,7 +223,8 @@ def _sample_reject(bundle, g_vars, d_vars, cfg, key, data_fn, mesh,
         xs, logits, acc, labels = _scan_batches(body, k_main, cfg.num_batches)
         return xs, logits, acc, labels, m
 
-    xs, logits, acc, labels, m = run(g_vars, d_vars, key)
+    xs, logits, acc, labels, m = run(g_vars, d_vars, key,
+                                     jnp.float32(cfg.rate))
     samples = _flatten(xs)
     labels = _flatten(labels) if bundle.conditional else None
     return SampleResult(samples, acc.reshape(-1), logits.reshape(-1), labels,
@@ -325,11 +328,12 @@ def _sample_collab(bundle, g_vars, d_vars, cfg, key, data_fn, mesh,
     shaping_on = cfg.shape_every > 0
 
     @jax.jit
-    def run(g_vars, shaping_state0, anchor_params, key):
+    def run(g_vars, shaping_state0, anchor_params, key, rate):
         k_burn, k_main = jax.random.split(key)
 
         def burn_sample(k, n):
-            x, labels, _ = draw_refine(g_vars, shaping_state0.d_vars, k, n)
+            x, labels, _ = draw_refine(g_vars, shaping_state0.d_vars, k, n,
+                                       rate=rate)
             return x, labels
 
         if per_class:
@@ -347,7 +351,8 @@ def _sample_collab(bundle, g_vars, d_vars, cfg, key, data_fn, mesh,
             k_draw, k_acc, k_real, k_shape = jax.random.split(k, 4)
 
             x, labels, logits = draw_refine(g_vars, shaping_state.d_vars,
-                                            k_draw, cfg.batch_size)
+                                            k_draw, cfg.batch_size,
+                                            rate=rate)
             # D's logit scale drifts while it is being shaped, so a running
             # max over all rounds goes stale (it only grows) and acceptance
             # collapses. Recalibrate with an EMA of the per-round max —
@@ -418,7 +423,7 @@ def _sample_collab(bundle, g_vars, d_vars, cfg, key, data_fn, mesh,
         return shaping_state, m, outs
 
     shaping_state, m, (xs, logits, acc, shape_losses, labels) = run(
-        g_vars, shaping_state0, anchor_params, key)
+        g_vars, shaping_state0, anchor_params, key, jnp.float32(cfg.rate))
     samples = _flatten(xs)
     labels = _flatten(labels) if bundle.conditional else None
     return SampleResult(

@@ -85,12 +85,17 @@ def _freeze_stopped(x_new: jax.Array, x: jax.Array, logits: jax.Array,
 
 def make_refine_fn(bundle: GANBundle, cfg: RefineConfig,
                    return_trajectory: bool = False) -> Callable:
-    """Build `refine(d_vars, x0, labels=None) -> (x_K, aux)`.
+    """Build `refine(d_vars, x0, labels=None, key=None, rate=None)
+    -> (x_K, aux)`.
 
     aux = {'logits': D(x_K) logits, 'traj': (K+1, B, ...) if requested}.
     Pure and jittable; call inside your own jit/scan (collab.py does).
+    ``rate`` may be a traced scalar overriding cfg.rate — the hparam
+    tuner's compile-once-per-K path (one program serves every rate); with
+    rate=None, cfg.rate is baked as a constant and the fully-static fast
+    paths (Pallas MLP kernel) stay eligible.
     """
-    steps, rate, clip_norm = cfg.steps, cfg.rate, cfg.clip_norm
+    steps, clip_norm = cfg.steps, cfg.clip_norm
     noise = getattr(cfg, "noise", 0.0)
     objective = getattr(cfg, "objective", "ns")
     stop_score = getattr(cfg, "stop_score", 0.0)
@@ -98,17 +103,17 @@ def make_refine_fn(bundle: GANBundle, cfg: RefineConfig,
 
     def refine(d_vars: Any, x0: jax.Array,
                labels: jax.Array | None = None,
-               key: jax.Array | None = None):
+               key: jax.Array | None = None, rate=None):
         # Fused Pallas fast path (MLP D, unconditional, no clipping, no
         # noise, no trajectory): whole K-step loop in one kernel,
-        # x VMEM-resident.
-        if not return_trajectory and noise == 0.0:
+        # x VMEM-resident. Needs a STATIC rate (kernel constant).
+        if not return_trajectory and noise == 0.0 and rate is None:
             from collaborative_gan_sampling_tpu.ops.refine_pallas import (
                 fused_refine_mlp,
                 supports_pallas_refine,
             )
             if supports_pallas_refine(bundle, cfg, labels):
-                x_k, logits = fused_refine_mlp(d_vars, x0, steps, rate)
+                x_k, logits = fused_refine_mlp(d_vars, x0, steps, cfg.rate)
                 return x_k, {"logits": logits}
         # Space-to-depth fast path (conv D): same scan math in s2d
         # coordinates, turning the 2-4%-MFU first conv + VJP into dense
@@ -118,12 +123,16 @@ def make_refine_fn(bundle: GANBundle, cfg: RefineConfig,
             supports_s2d_refine,
         )
         if supports_s2d_refine(bundle, cfg, return_trajectory, noise):
-            return make_refine_s2d(bundle, cfg)(d_vars, x0, labels)
-        return _refine_scan(d_vars, x0, labels, key)
+            return make_refine_s2d(bundle, cfg)(d_vars, x0, labels,
+                                                rate=rate)
+        return _refine_scan(d_vars, x0, labels, key, rate)
 
     def _refine_scan(d_vars: Any, x0: jax.Array,
                      labels: jax.Array | None = None,
-                     key: jax.Array | None = None):
+                     key: jax.Array | None = None, rate=None):
+        # Cast to the sample dtype: a traced f32 scalar must not promote
+        # bf16 math (the scan carry dtype would change mid-loop).
+        rate = jnp.asarray(cfg.rate if rate is None else rate, x0.dtype)
         def loss_sum(x):
             logits = bundle.discriminate(d_vars, x, labels, train=False)
             return jnp.sum(refine_loss_per_sample(logits, objective)), logits
@@ -189,13 +198,14 @@ def make_draw_refine_fn(bundle: GANBundle, cfg: RefineConfig, mesh=None):
     refine = make_refine_fn(bundle, cfg)
 
     def draw_refine(g_vars: Any, d_vars: Any, key: jax.Array, n: int,
-                    labels: jax.Array | None = None):
+                    labels: jax.Array | None = None, rate=None):
         k_z, k_lab = jax.random.split(key)
         z = constrain_batch(mesh, bundle.sample_z(k_z, n))
         if bundle.conditional and labels is None:
             labels = bundle.sample_labels(k_lab, n)
         x0 = bundle.generate(g_vars, z, labels, train=False)
-        x, aux = refine(d_vars, x0, labels, key=jax.random.fold_in(key, 1))
+        x, aux = refine(d_vars, x0, labels, key=jax.random.fold_in(key, 1),
+                        rate=rate)
         return x, labels, aux["logits"]
 
     return draw_refine
@@ -213,7 +223,7 @@ def _make_draw_refine_z(bundle: GANBundle, cfg: RefineConfig, mesh=None):
     which is the DGflow recipe for high-dimensional images. One lax.scan;
     each step is a G-forward + D-forward + joint VJP, all XLA-fused; z
     (B, z_dim) is the only carried state, O(1) memory in K."""
-    steps, rate, clip_norm = cfg.steps, cfg.rate, cfg.clip_norm
+    steps, clip_norm = cfg.steps, cfg.clip_norm
     noise = getattr(cfg, "noise", 0.0)
     objective = getattr(cfg, "objective", "ns")
     stop_score = getattr(cfg, "stop_score", 0.0)
@@ -221,9 +231,12 @@ def _make_draw_refine_z(bundle: GANBundle, cfg: RefineConfig, mesh=None):
     from collaborative_gan_sampling_tpu.parallel.mesh import constrain_batch
 
     def draw_refine(g_vars: Any, d_vars: Any, key: jax.Array, n: int,
-                    labels: jax.Array | None = None):
+                    labels: jax.Array | None = None, rate=None):
         k_z, k_lab = jax.random.split(key)
         z0 = constrain_batch(mesh, bundle.sample_z(k_z, n))
+        # Sample-dtype cast (see _refine_scan): traced scalars must not
+        # promote the z carry's dtype.
+        rate = jnp.asarray(cfg.rate if rate is None else rate, z0.dtype)
         if bundle.conditional and labels is None:
             labels = bundle.sample_labels(k_lab, n)
 

@@ -112,3 +112,38 @@ def test_refine_loss_formula():
     np.testing.assert_allclose(
         np.asarray(refine_loss_per_sample(logits)),
         np.log1p(np.exp(-np.asarray(logits))), rtol=1e-6)
+
+
+def test_traced_rate_matches_baked_rate():
+    """The tuner's compile-once-per-K path: passing rate as a traced scalar
+    must reproduce the baked-constant program bit-for-bit (same math, same
+    dtype discipline) — on both the oracle scan and the s2d fast path."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from collaborative_gan_sampling_tpu.config import ModelConfig
+    from collaborative_gan_sampling_tpu.models import make_bundle
+
+    for use_s2d in (False, True):
+        cfg_a = RefineConfig(steps=3, rate=0.05, use_pallas=False,
+                             use_s2d=use_s2d)
+        # The dynamic call's cfg carries a DIFFERENT baked rate: the traced
+        # scalar must win.
+        cfg_b = dataclasses.replace(cfg_a, rate=0.9)
+        bundle = make_bundle(ModelConfig(kind="dcgan", z_dim=8,
+                                         image_size=16, channels=1,
+                                         g_base_filters=8, d_base_filters=8,
+                                         compute_dtype="float32"))
+        g_vars, d_vars = bundle.init(jax.random.PRNGKey(0))
+        x0 = bundle.generate(g_vars, bundle.sample_z(jax.random.PRNGKey(1),
+                                                     8))
+        x_static, aux_s = jax.jit(make_refine_fn(bundle, cfg_a))(d_vars, x0)
+        dyn = jax.jit(lambda d, x, r: make_refine_fn(bundle, cfg_b)(
+            d, x, rate=r))
+        x_dyn, aux_d = dyn(d_vars, x0, jnp.float32(0.05))
+        np.testing.assert_allclose(np.asarray(x_dyn), np.asarray(x_static),
+                                   atol=0, rtol=0)
+        np.testing.assert_allclose(np.asarray(aux_d["logits"]),
+                                   np.asarray(aux_s["logits"]),
+                                   atol=0, rtol=0)
