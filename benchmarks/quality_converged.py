@@ -81,6 +81,10 @@ def main():
                    help="accepted-sample pool size every arm is scored on")
     p.add_argument("--arms", nargs="+", default=None,
                    help="subset of method arms to run (default: all)")
+    p.add_argument("--gens", nargs="+", default=["plain", "ema"],
+                   help="generator arms to run (plain / ema); finals for "
+                        "gens NOT run are still merged into the output "
+                        "from their finals_<gen>.jsonl cache")
     p.add_argument("--out", default="runs/imagenet64_conv")
     args = p.parse_args()
 
@@ -97,8 +101,40 @@ def main():
     from collaborative_gan_sampling_tpu.utils.retry import with_retries
 
     enable_compile_cache()
+
+    def finals_cache_path(gen: str) -> str:
+        return os.path.join(args.out, f"finals_{gen}.jsonl")
+
+    def load_finals(gen: str) -> dict:
+        """arm-name -> full result row, from the per-arm finals cache (a
+        campaign interrupted mid-finals loses at most the current arm)."""
+        rows = {}
+        path = finals_cache_path(gen)
+        if os.path.exists(path):
+            with open(path) as fh:
+                for line in fh:
+                    try:
+                        rec = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue  # torn tail line from a killed writer
+                    rows[rec["method"]] = rec["row"]
+        return rows
+
+    def append_final(gen: str, method: str, row: dict) -> None:
+        import fcntl
+
+        with open(finals_cache_path(gen), "a") as fh:
+            fcntl.flock(fh, fcntl.LOCK_EX)
+            try:
+                fh.write(json.dumps({"method": method, "row": row}) + "\n")
+                fh.flush()
+            finally:
+                fcntl.flock(fh, fcntl.LOCK_UN)
+
     exps = {}
     for name, decay in [("plain", 0.0), ("ema", args.decay)]:
+        if name not in args.gens:
+            continue
         cfg = get_preset(args.preset)
         cfg = cfg.replace(
             workdir=os.path.join(args.out, name),
@@ -112,7 +148,7 @@ def main():
 
     # One feature net / real-stats protocol for every number in the table
     # (feature nets are data-keyed, not model-keyed, so this is exact).
-    ref_exp = exps["plain"][0]
+    ref_exp = next(iter(exps.values()))[0]
     metric = "kl" if ref_exp.is_2d else "fid"
 
     def equal_pool_eval(exp, state, method: str, d_vars, rcfg,
@@ -169,7 +205,12 @@ def main():
         if args.arms:
             variants = {k: v for k, v in variants.items() if k in args.arms}
 
+        done = load_finals(name)
         for arm_idx, (vname, (method, rcfg)) in enumerate(variants.items()):
+            if vname in done:
+                table[f"{name}:{vname}"] = done[vname]
+                print(f"[converged] {name}:{vname} (cached)", flush=True)
+                continue
 
             def run_final(vname=vname, method=method, rcfg=rcfg,
                           arm_idx=arm_idx):
@@ -214,6 +255,7 @@ def main():
 
             table[f"{name}:{vname}"] = with_retries(
                 run_final, label=f"final {name}:{vname}")
+            append_final(name, vname, table[f"{name}:{vname}"])
             print(json.dumps({
                 "arm": name, "method": vname,
                 **{k: round(v, 4) for k, v in table[f"{name}:{vname}"]
@@ -221,11 +263,33 @@ def main():
                        metric, f"{metric}_full_pool", "accept_rate",
                        "pool")}}), flush=True)
 
+    # Merge finals for generator arms NOT run this invocation (their
+    # caches are the canonical record of completed arms), and carry
+    # forward tuned/grids/pool_bias from an earlier artifact so a
+    # --gens-partial rerun never erases measured results.
+    path = os.path.join(args.out, f"converged_it{args.iters}.json")
+    if os.path.exists(path):
+        with open(path) as fh:
+            prev = json.load(fh)
+        for cur, prev_d in ((tuned, prev.get("tuned", {})),
+                            (grids, prev.get("grids", {}))):
+            for k, v in prev_d.items():
+                cur.setdefault(k, v)
+        if not pool_bias:
+            pool_bias = prev.get("pool_bias", {})
+        prev_table = prev.get("table", {})
+    else:
+        prev_table = {}
+    for gen in ("plain", "ema"):
+        if gen not in args.gens:
+            for vname, row in load_finals(gen).items():
+                table.setdefault(f"{gen}:{vname}", row)
+    for k, v in prev_table.items():
+        table.setdefault(k, v)
     result = {"preset": args.preset, "niters": args.iters,
               "decay": args.decay, "pool": args.pool, "tuned": tuned,
               "pool_bias": pool_bias, "grids": grids, "table": table}
     os.makedirs(args.out, exist_ok=True)
-    path = os.path.join(args.out, f"converged_it{args.iters}.json")
     with open(path, "w") as fh:
         json.dump(result, fh, indent=2)
     print(f"wrote {path}")
