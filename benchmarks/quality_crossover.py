@@ -121,8 +121,32 @@ def main():
                     jnp.asarray(samples[:args.pool])),
                 "accept_rate": stats.get("accept_rate", 1.0)}
 
+    # Per-depth result cache: a campaign interrupted mid-curve loses at
+    # most the current depth, and the artifact is re-written after every
+    # depth (same resumability contract as quality_converged.py finals).
+    curve_cache = os.path.join(args.out, "curve_cache.jsonl")
     curve = {}
+    if os.path.exists(curve_cache):
+        with open(curve_cache) as fh:
+            for line in fh:
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue  # torn tail line from a killed writer
+                curve[str(rec["depth"])] = rec["row"]
+
+    def write_artifact():
+        result = {"preset": args.preset, "depths": depths,
+                  "pool": args.pool, "metric": metric, "curve": curve}
+        path = os.path.join(args.out, "crossover.json")
+        with open(path, "w") as fh:
+            json.dump(result, fh, indent=2)
+        return path
+
     for di, d in enumerate(depths):
+        if str(d) in curve:
+            print(f"[crossover] it{d} (cached)", flush=True)
+            continue
         cfg_d = cfg_train.replace(
             workdir=os.path.join(args.out, f"it{d}"),
             train=dataclasses.replace(cfg_train.train, niters=d),
@@ -173,13 +197,18 @@ def main():
             a: round(row[a][metric], 4) for a in
             ("standard", "collab", "collab_safe") if a in row},
             "delta_pct": row.get("collab_delta_pct")}), flush=True)
+        import fcntl
 
-    result = {"preset": args.preset, "depths": depths, "pool": args.pool,
-              "metric": metric, "curve": curve}
-    os.makedirs(args.out, exist_ok=True)
-    path = os.path.join(args.out, "crossover.json")
-    with open(path, "w") as fh:
-        json.dump(result, fh, indent=2)
+        with open(curve_cache, "a") as fh:
+            fcntl.flock(fh, fcntl.LOCK_EX)
+            try:
+                fh.write(json.dumps({"depth": d, "row": row}) + "\n")
+                fh.flush()
+            finally:
+                fcntl.flock(fh, fcntl.LOCK_UN)
+        write_artifact()
+
+    path = write_artifact()
     print(f"wrote {path}")
 
     # Companion figure: FID vs depth, standard / collab / collab_safe.
