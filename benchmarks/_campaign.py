@@ -37,6 +37,49 @@ def make_experiment(preset: str, iters: int, workdir: str, **train_kw):
     return exp, exp.load_or_train(), cfg
 
 
+def mh_fill_pool(exp, state, rcfg, pool: int, initial=None,
+                 seed: int = 31337, max_passes: int = 25):
+    """Accepted MH-GAN pool of >= `pool` samples via repeated independent
+    chain passes; returns (samples[<=pool], passes, total_accepted).
+
+    MH-GAN has no persistent serving program (sampling/serve.py: chains
+    re-walk the proposal history per batch), so the equal-pool protocol
+    cannot stream it through ServingSampler. And a single
+    ``exp.sample(method='mhgan')`` pass does NOT fill its candidate count:
+    chains are REAL-initialized (Turner et al.'s calibration variant), and
+    a chain that never accepts a G proposal still holds its real
+    initializer — emitting it would leak training data into the scored
+    pool, so those chains are dropped (the real-init guard in
+    sampling/collab.py::_sample_mhgan). That drop is the round-4 "chain
+    truncation": one 40x256 pass on the ImageNet-64 it10000 checkpoint
+    kept only 4,874 of 10,240 candidates. Pool fairness therefore needs
+    more passes, not truncation of one.
+    """
+    import jax
+    import numpy as np
+
+    from collaborative_gan_sampling_tpu.pipeline import Experiment
+
+    pools, total, passes = [], 0, 0
+    if initial is not None:
+        s, _ = Experiment._accepted_pool(initial)
+        pools.append(np.asarray(jax.device_get(s)))
+        total += int(s.shape[0])
+        passes += 1
+    while total < pool and passes < max_passes:
+        res = exp.sample(
+            state, method="mhgan", refine_cfg=rcfg,
+            key=jax.random.fold_in(jax.random.PRNGKey(seed), passes))
+        s, _ = Experiment._accepted_pool(res)
+        pools.append(np.asarray(jax.device_get(s)))
+        total += int(s.shape[0])
+        passes += 1
+        print(f"[mh_fill_pool] pass {passes}: {total}/{pool} accepted",
+              flush=True)
+    samples = np.concatenate(pools)[:pool]
+    return samples, passes, total
+
+
 class Runner:
     """Accumulates named (method, refine_cfg) cells into a results table."""
 

@@ -41,7 +41,16 @@ Collab-family arms shape D with the repo's measured 40-batch protocol
 FIXED shaped D — 'train once, shape once, serve many times', identical
 to the intra-FID campaign's protocol. ``fid`` is the equal-pool number;
 ``fid_full_pool`` is the round-3-protocol number (all accepted samples
-of the 40-batch pass) kept for cross-round continuity.
+of the 40-batch pass) kept for cross-round continuity. The MH-GAN arm
+fills its equal pool with repeated independent chain passes
+(_campaign.mh_fill_pool — real-initialized chains that never accept a
+G proposal are dropped by the leak guard, so one pass does NOT fill).
+
+Finals are cached per (gen, method) in finals_<gen>.jsonl with the
+protocol {preset, iters, pool, tuned} stamped on each record; rows
+measured under a different protocol are skipped at load time instead of
+silently reused (ADVICE r4). Arms that ignore the tuned (K, rate) —
+standard, reject, mhgan — survive a tuned-cell change.
 
 Usage:
   python benchmarks/quality_converged.py --preset imagenet64 \
@@ -82,6 +91,7 @@ def main():
     p.add_argument("--arms", nargs="+", default=None,
                    help="subset of method arms to run (default: all)")
     p.add_argument("--gens", nargs="+", default=["plain", "ema"],
+                   choices=["plain", "ema"],
                    help="generator arms to run (plain / ema); finals for "
                         "gens NOT run are still merged into the output "
                         "from their finals_<gen>.jsonl cache")
@@ -105,9 +115,22 @@ def main():
     def finals_cache_path(gen: str) -> str:
         return os.path.join(args.out, f"finals_{gen}.jsonl")
 
-    def load_finals(gen: str) -> dict:
+    # Arms whose measurement ignores the tuned (K, rate): standard is the
+    # raw G(z) pool, reject is DRS on raw G(z) (no refinement), mhgan uses
+    # only mh_chain_len/batch geometry. Every other arm refines, so its
+    # cached final is stale the moment the tuned cell changes (e.g. a grid
+    # extension moving the optimum) and must be invalidated (ADVICE r4).
+    TUNE_FREE = ("standard", "reject", "mhgan")
+
+    def load_finals(gen: str, tuned_kr: dict | None = None) -> dict:
         """arm-name -> full result row, from the per-arm finals cache (a
-        campaign interrupted mid-finals loses at most the current arm)."""
+        campaign interrupted mid-finals loses at most the current arm).
+
+        Each record carries the protocol it was measured under
+        ({preset, iters, pool, tuned}); rows from a different protocol —
+        a rerun in the same --out with a different checkpoint depth, pool
+        size, or tuned cell — are skipped with a note instead of silently
+        reused under the new invocation's metadata (ADVICE r4)."""
         rows = {}
         path = finals_cache_path(gen)
         if os.path.exists(path):
@@ -117,16 +140,40 @@ def main():
                         rec = json.loads(line)
                     except json.JSONDecodeError:
                         continue  # torn tail line from a killed writer
+                    proto = rec.get("protocol")
+                    if proto is None:
+                        print(f"[finals] {gen}:{rec['method']}: unstamped "
+                              "legacy cache row — skipping (re-measure or "
+                              "stamp its protocol)", flush=True)
+                        continue
+                    want = {"preset": args.preset, "iters": args.iters,
+                            "pool": args.pool}
+                    mism = [k for k, v in want.items()
+                            if proto.get(k) != v]
+                    if (rec["method"] not in TUNE_FREE
+                            and tuned_kr is not None
+                            and proto.get("tuned") != tuned_kr):
+                        mism.append("tuned")
+                    if mism:
+                        print(f"[finals] {gen}:{rec['method']}: cached "
+                              f"under different {'/'.join(mism)} "
+                              f"({ {k: proto.get(k) for k in mism} }) — "
+                              "skipping", flush=True)
+                        continue
                     rows[rec["method"]] = rec["row"]
         return rows
 
-    def append_final(gen: str, method: str, row: dict) -> None:
+    def append_final(gen: str, method: str, row: dict,
+                     tuned_kr: dict | None) -> None:
         import fcntl
 
+        rec = {"method": method, "row": row,
+               "protocol": {"preset": args.preset, "iters": args.iters,
+                            "pool": args.pool, "tuned": tuned_kr}}
         with open(finals_cache_path(gen), "a") as fh:
             fcntl.flock(fh, fcntl.LOCK_EX)
             try:
-                fh.write(json.dumps({"method": method, "row": row}) + "\n")
+                fh.write(json.dumps(rec) + "\n")
                 fh.flush()
             finally:
                 fcntl.flock(fh, fcntl.LOCK_UN)
@@ -205,10 +252,14 @@ def main():
         if args.arms:
             variants = {k: v for k, v in variants.items() if k in args.arms}
 
-        done = load_finals(name)
+        done = load_finals(name, tuned[name])
+        # Seed the table from EVERY validated cached final of this gen (not
+        # just the --arms subset) so an interrupted-then-narrowed rerun
+        # never drops completed arms from the merged output (ADVICE r4).
+        for vname, vrow in done.items():
+            table[f"{name}:{vname}"] = vrow
         for arm_idx, (vname, (method, rcfg)) in enumerate(variants.items()):
             if vname in done:
-                table[f"{name}:{vname}"] = done[vname]
                 print(f"[converged] {name}:{vname} (cached)", flush=True)
                 continue
 
@@ -233,11 +284,23 @@ def main():
                 serve_method = ("collab" if method == "collab"
                                 else method)
                 if serve_method == "mhgan":
-                    # Serving has no MH chains; score the first-`pool` of
-                    # the 40-batch MH pool (accept-all, so it fills).
-                    samples, _ = Experiment._accepted_pool(res, args.pool)
-                    row["fid"] = ref_exp.fid_of_samples(samples)
+                    # Serving has no MH chains; fill the equal pool with
+                    # repeated independent chain passes. (The round-4
+                    # version truncated ONE pass under an "accept-all, so
+                    # it fills" comment that was false: real-initialized
+                    # chains that never accept a G proposal are dropped by
+                    # the real-data leak guard — see mh_fill_pool's
+                    # docstring for the mechanism.)
+                    from benchmarks._campaign import mh_fill_pool
+
+                    samples, passes, total = mh_fill_pool(
+                        exp, state, rcfg, args.pool, initial=res,
+                        seed=31337 + arm_idx)
+                    row["fid"] = ref_exp.fid_of_samples(
+                        jnp.asarray(samples))
                     row["pool"] = int(samples.shape[0])
+                    row["mh_passes"] = passes
+                    row["mh_total_accepted"] = total
                     return row
                 eq, samples = equal_pool_eval(exp, state, serve_method,
                                               d_vars, rcfg, arm_idx)
@@ -255,7 +318,8 @@ def main():
 
             table[f"{name}:{vname}"] = with_retries(
                 run_final, label=f"final {name}:{vname}")
-            append_final(name, vname, table[f"{name}:{vname}"])
+            append_final(name, vname, table[f"{name}:{vname}"],
+                         tuned[name])
             print(json.dumps({
                 "arm": name, "method": vname,
                 **{k: round(v, 4) for k, v in table[f"{name}:{vname}"]
@@ -268,27 +332,33 @@ def main():
     # forward tuned/grids/pool_bias from an earlier artifact so a
     # --gens-partial rerun never erases measured results.
     path = os.path.join(args.out, f"converged_it{args.iters}.json")
+    prev_table = {}
     if os.path.exists(path):
         with open(path) as fh:
             prev = json.load(fh)
-        for cur, prev_d in ((tuned, prev.get("tuned", {})),
-                            (grids, prev.get("grids", {}))):
-            for k, v in prev_d.items():
-                cur.setdefault(k, v)
-        if not pool_bias:
-            pool_bias = prev.get("pool_bias", {})
-        prev_table = prev.get("table", {})
-    else:
-        prev_table = {}
+        if (prev.get("preset"), prev.get("pool")) == (args.preset,
+                                                      args.pool):
+            for cur, prev_d in ((tuned, prev.get("tuned", {})),
+                                (grids, prev.get("grids", {}))):
+                for k, v in prev_d.items():
+                    cur.setdefault(k, v)
+            if not pool_bias:
+                pool_bias = prev.get("pool_bias", {})
+            prev_table = prev.get("table", {})
+        else:
+            print(f"[converged] NOT merging {path}: measured under "
+                  f"preset={prev.get('preset')} pool={prev.get('pool')}",
+                  flush=True)
     for gen in ("plain", "ema"):
         if gen not in args.gens:
-            for vname, row in load_finals(gen).items():
+            for vname, row in load_finals(gen, tuned.get(gen)).items():
                 table.setdefault(f"{gen}:{vname}", row)
     for k, v in prev_table.items():
         table.setdefault(k, v)
     result = {"preset": args.preset, "niters": args.iters,
-              "decay": args.decay, "pool": args.pool, "tuned": tuned,
-              "pool_bias": pool_bias, "grids": grids, "table": table}
+              "decay": args.decay, "pool": args.pool, "metric": metric,
+              "tuned": tuned, "pool_bias": pool_bias, "grids": grids,
+              "table": table}
     os.makedirs(args.out, exist_ok=True)
     with open(path, "w") as fh:
         json.dump(result, fh, indent=2)

@@ -18,7 +18,20 @@ Protocol notes:
 * final arms scored over EQUAL accepted-sample pools through the
   serving path (the pool-size-fair protocol of quality_converged.py);
 * ``--safe`` arm included at each depth: the self-guarding recipe's
-  whole pitch is robustness across exactly this axis.
+  whole pitch is robustness across exactly this axis;
+* round 5 adds the full method matrix per depth (VERDICT r4 item 4):
+  reject (pure DRS), refinement (accept-all), and mhgan arms, so the
+  curve says WHICH component (rejection vs shaping vs drift) breaks
+  first as D converges. MH fills its pool via _campaign.mh_fill_pool
+  (chains are real-initialized; never-accepting chains are dropped by
+  the leak guard, so one pass does not fill — see that docstring).
+
+Each curve_cache.jsonl record is stamped with its measurement protocol
+{preset, pool, ks, rates}; rows from a different protocol are skipped at
+load (ADVICE r4). A cached depth row missing some arms (e.g. the round-4
+three-arm rows) is BACKFILLED: the stored tuned (K, rate) is reused and
+only the missing arms are measured, then an updated record is appended
+(later records win on load).
 
 Usage:
   python benchmarks/quality_crossover.py --preset celeba \
@@ -121,9 +134,18 @@ def main():
                     jnp.asarray(samples[:args.pool])),
                 "accept_rate": stats.get("accept_rate", 1.0)}
 
+    # The full per-depth method matrix (SURVEY §3.5's benchmark mode laid
+    # along the checkpoint-depth axis). Order matters only for reporting.
+    ARMS = ("standard", "reject", "refinement", "mhgan", "collab",
+            "collab_safe")
+
     # Per-depth result cache: a campaign interrupted mid-curve loses at
     # most the current depth, and the artifact is re-written after every
     # depth (same resumability contract as quality_converged.py finals).
+    # Records are protocol-stamped; later records for a depth win (the
+    # arm-backfill path appends an updated row).
+    protocol = {"preset": args.preset, "pool": args.pool,
+                "ks": list(args.ks), "rates": list(args.rates)}
     curve_cache = os.path.join(args.out, "curve_cache.jsonl")
     curve = {}
     if os.path.exists(curve_cache):
@@ -133,18 +155,47 @@ def main():
                     rec = json.loads(line)
                 except json.JSONDecodeError:
                     continue  # torn tail line from a killed writer
+                proto = rec.get("protocol")
+                if proto is None:
+                    print(f"[crossover] it{rec['depth']}: unstamped legacy "
+                          "cache row — skipping (re-measure or stamp its "
+                          "protocol)", flush=True)
+                    continue
+                if proto != protocol:
+                    mism = sorted(k for k in set(proto) | set(protocol)
+                                  if proto.get(k) != protocol.get(k))
+                    print(f"[crossover] it{rec['depth']}: cached under "
+                          f"different {'/'.join(mism)} — skipping",
+                          flush=True)
+                    continue
                 curve[str(rec["depth"])] = rec["row"]
+
+    def append_cache(d: int, row: dict) -> None:
+        import fcntl
+
+        with open(curve_cache, "a") as fh:
+            fcntl.flock(fh, fcntl.LOCK_EX)
+            try:
+                fh.write(json.dumps({"depth": d, "row": row,
+                                     "protocol": protocol}) + "\n")
+                fh.flush()
+            finally:
+                fcntl.flock(fh, fcntl.LOCK_UN)
 
     def write_artifact():
         result = {"preset": args.preset, "depths": depths,
-                  "pool": args.pool, "metric": metric, "curve": curve}
+                  "pool": args.pool, "metric": metric,
+                  "arms": list(ARMS), "curve": curve}
         path = os.path.join(args.out, "crossover.json")
         with open(path, "w") as fh:
             json.dump(result, fh, indent=2)
         return path
 
     for di, d in enumerate(depths):
-        if str(d) in curve:
+        cached_row = curve.get(str(d))
+        missing = ([a for a in ARMS if a not in cached_row]
+                   if cached_row is not None else list(ARMS))
+        if cached_row is not None and not missing:
             print(f"[crossover] it{d} (cached)", flush=True)
             continue
         cfg_d = cfg_train.replace(
@@ -155,57 +206,81 @@ def main():
         exp_t = Experiment(cfg_d, echo_metrics=False)
         if not ref_exp.is_2d:
             exp_t.adopt_eval_caches(ref_exp)
-        (bk, br), grid = exp_t.select_hparams(
-            states[d], ks=list(args.ks), rates=list(args.rates),
-            method="collab", progress=True, extend_grid=args.extend_grid,
-            cache_path=os.path.join(args.out, f"grid_it{d}.jsonl"))
-        print(f"[crossover] it{d} tuned (K, rate) = ({bk}, {br})",
-              flush=True)
+        if cached_row is None:
+            (bk, br), grid = exp_t.select_hparams(
+                states[d], ks=list(args.ks), rates=list(args.rates),
+                method="collab", progress=True,
+                extend_grid=args.extend_grid,
+                cache_path=os.path.join(args.out, f"grid_it{d}.jsonl"))
+            print(f"[crossover] it{d} tuned (K, rate) = ({bk}, {br})",
+                  flush=True)
+            row = {"tuned": {"k": bk, "rate": br},
+                   "grid_cells": len(grid)}
+        else:
+            # Arm backfill: reuse the row's measured tuned cell — the
+            # grid already ran under this exact protocol.
+            row = dict(cached_row)
+            bk, br = row["tuned"]["k"], row["tuned"]["rate"]
+            print(f"[crossover] it{d}: backfilling {missing} at cached "
+                  f"tuned ({bk}, {br})", flush=True)
         rcfg_t = dataclasses.replace(cfg_d.refine, steps=bk, rate=br)
         rcfg_s = dataclasses.replace(rcfg_t, stop_score=0.5,
                                      shaping_target=0.5)
-        row = {"tuned": {"k": bk, "rate": br},
-               "grid_cells": len(grid)}
 
-        def run_arms(row=row, d=d, di=di, exp_t=exp_t, rcfg_t=rcfg_t,
-                     rcfg_s=rcfg_s):
+        def run_arms(row=row, missing=missing, d=d, di=di, exp_t=exp_t,
+                     rcfg_t=rcfg_t, rcfg_s=rcfg_s):
             st = states[d]
             if ref_exp.is_2d:
-                for arm, method, rc in (
-                        ("standard", "standard", rcfg_t),
-                        ("collab", "collab", rcfg_t),
-                        ("collab_safe", "collab", rcfg_s)):
+                specs = {"standard": ("standard", rcfg_t),
+                         "reject": ("reject", rcfg_t),
+                         "refinement": ("refinement", rcfg_t),
+                         "mhgan": ("mhgan", rcfg_t),
+                         "collab": ("collab", rcfg_t),
+                         "collab_safe": ("collab", rcfg_s)}
+                for arm in missing:
+                    method, rc = specs[arm]
                     res = exp_t.sample(st, method=method, refine_cfg=rc)
                     row[arm] = ref_exp.evaluate(res)
                 return row
-            row["standard"] = serve_fid(exp_t, st, "standard",
-                                        st.d_vars, rcfg_t, 10 * di)
-            for arm, rc in (("collab", rcfg_t), ("collab_safe", rcfg_s)):
-                res = exp_t.sample(st, method="collab", refine_cfg=rc)
-                shaped = res.aux.get("shaped_d_vars", st.d_vars)
-                row[arm] = serve_fid(exp_t, st, "collab", shaped, rc,
-                                     10 * di + (1 if arm == "collab"
-                                                else 2))
+            # Unshaped-D serving arms (salts 0/3/4; 1/2 are collab's).
+            for arm, method, salt in (("standard", "standard", 0),
+                                      ("reject", "reject", 3),
+                                      ("refinement", "refinement", 4)):
+                if arm in missing:
+                    row[arm] = serve_fid(exp_t, st, method, st.d_vars,
+                                         rcfg_t, 10 * di + salt)
+            if "mhgan" in missing:
+                from benchmarks._campaign import mh_fill_pool
+
+                samples, passes, total = mh_fill_pool(
+                    exp_t, st, rcfg_t, args.pool, seed=808 + di)
+                row["mhgan"] = {"fid": ref_exp.fid_of_samples(
+                                    jnp.asarray(samples)),
+                                "pool": int(samples.shape[0]),
+                                "mh_passes": passes,
+                                "mh_total_accepted": total}
+            for arm, rc, salt in (("collab", rcfg_t, 1),
+                                  ("collab_safe", rcfg_s, 2)):
+                if arm in missing:
+                    res = exp_t.sample(st, method="collab", refine_cfg=rc)
+                    shaped = res.aux.get("shaped_d_vars", st.d_vars)
+                    row[arm] = serve_fid(exp_t, st, "collab", shaped, rc,
+                                         10 * di + salt)
             return row
 
         curve[str(d)] = with_retries(run_arms, label=f"crossover it{d}")
         row = curve[str(d)]
         if metric in row.get("standard", {}):
-            s, c = row["standard"][metric], row["collab"][metric]
-            row["collab_delta_pct"] = round(100.0 * (c - s) / s, 2)
+            s = row["standard"][metric]
+            for arm in ARMS[1:]:
+                if metric in row.get(arm, {}):
+                    row[f"{arm}_delta_pct"] = round(
+                        100.0 * (row[arm][metric] - s) / s, 2)
         print(json.dumps({"depth": d, **{
-            a: round(row[a][metric], 4) for a in
-            ("standard", "collab", "collab_safe") if a in row},
+            a: round(row[a][metric], 4) for a in ARMS
+            if metric in row.get(a, {})},
             "delta_pct": row.get("collab_delta_pct")}), flush=True)
-        import fcntl
-
-        with open(curve_cache, "a") as fh:
-            fcntl.flock(fh, fcntl.LOCK_EX)
-            try:
-                fh.write(json.dumps({"depth": d, "row": row}) + "\n")
-                fh.flush()
-            finally:
-                fcntl.flock(fh, fcntl.LOCK_UN)
+        append_cache(d, row)
         write_artifact()
 
     path = write_artifact()
@@ -218,11 +293,13 @@ def main():
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
-        fig, ax = plt.subplots(figsize=(6, 4))
+        fig, ax = plt.subplots(figsize=(6.5, 4.2))
         xs = depths
-        for arm, style in (("standard", "o-"), ("collab", "s-"),
-                           ("collab_safe", "^--")):
-            ys = [curve[str(d)].get(arm, {}).get(metric) for d in xs]
+        for arm, style in (("standard", "o-"), ("reject", "v:"),
+                           ("refinement", "d:"), ("mhgan", "x:"),
+                           ("collab", "s-"), ("collab_safe", "^--")):
+            ys = [curve.get(str(d), {}).get(arm, {}).get(metric)
+                  for d in xs]
             if all(v is not None for v in ys):
                 ax.plot(xs, ys, style, label=arm)
         ax.set_xscale("log")

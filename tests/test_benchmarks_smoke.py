@@ -74,13 +74,17 @@ def test_quality_crossover_smoke(tmp_path):
     assert proc.returncode == 0, proc.stderr[-2000:]
     result = json.loads((out / "crossover.json").read_text())
     assert result["depths"] == [20, 40]
+    arms = ("standard", "reject", "refinement", "mhgan", "collab",
+            "collab_safe")
+    assert result["arms"] == list(arms)
     for d in ("20", "40"):
         row = result["curve"][d]
         assert row["tuned"] == {"k": 2, "rate": 0.1}
-        for arm in ("standard", "collab", "collab_safe"):
+        for arm in arms:
             assert "kl" in row[arm]
     assert (out / "crossover.png").exists()
-    # Snapshots restored, not retrained, on a second invocation.
+    # Snapshots restored (not retrained) and rows cached (not re-measured)
+    # on an identical second invocation.
     proc2 = subprocess.run(
         [sys.executable,
          os.path.join(REPO, "benchmarks", "quality_crossover.py"),
@@ -89,3 +93,16 @@ def test_quality_crossover_smoke(tmp_path):
         cwd=tmp_path, env=env, capture_output=True, text=True, timeout=420)
     assert proc2.returncode == 0, proc2.stderr[-2000:]
     assert proc2.stdout.count("snapshot restored") == 2
+    assert proc2.stdout.count("(cached)") == 2
+    # A protocol change (different --rates) invalidates the cached rows
+    # instead of silently reusing them under the new metadata (ADVICE r4).
+    proc3 = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "benchmarks", "quality_crossover.py"),
+         "--preset", "toy2d", "--depths", "20", "--ks", "2",
+         "--rates", "0.2", "--out", str(out)],
+        cwd=tmp_path, env=env, capture_output=True, text=True, timeout=420)
+    assert proc3.returncode == 0, proc3.stderr[-2000:]
+    assert "cached under different rates — skipping" in proc3.stdout
+    row = json.loads((out / "crossover.json").read_text())["curve"]["20"]
+    assert row["tuned"] == {"k": 2, "rate": 0.2}
