@@ -106,3 +106,28 @@ def test_quality_crossover_smoke(tmp_path):
     assert "cached under different rates — skipping" in proc3.stdout
     row = json.loads((out / "crossover.json").read_text())["curve"]["20"]
     assert row["tuned"] == {"k": 2, "rate": 0.2}
+
+
+def test_probe_pool_noise_smoke(tmp_path):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["MPLBACKEND"] = "Agg"
+    out = tmp_path / "noise"
+    proc = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "benchmarks", "probe_pool_noise.py"),
+         "--preset", "toy2d", "--iters", "60",
+         "--workdir", str(tmp_path / "arm"), "--pool", "512",
+         "--pools", "3", "--methods", "standard", "mhgan",
+         "--out", str(out)],
+        cwd=tmp_path, env=env, capture_output=True, text=True, timeout=420)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    result = json.loads((out / "pool_noise_it60.json").read_text())
+    assert result["metric"] == "kl"
+    for method in ("standard", "mhgan"):
+        stats = result["methods"][method]
+        assert len(stats["kl"]) == 3
+        assert stats["max_gap"] >= stats["mean_gap"] >= 0.0
+    # Independent pools must actually differ (distinct fold_in keys).
+    assert result["methods"]["standard"]["max_gap"] > 0.0
